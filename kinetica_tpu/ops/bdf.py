@@ -1,0 +1,444 @@
+"""Variable-order BDF stiff integrator, from scratch in JAX.
+
+This is the TPU-native replacement for the reference's production solver,
+Sundials ``CVODE_BDF(linear_solver=:KLU)``
+(/root/reference/docs/src/getting-started.md:69-77) — no CVODE exists on
+TPU, so the classic variable-step variable-order BDF method (orders 1-5,
+backward-difference state array, simplified Newton with a frozen-Jacobian
+LU, step/order adaptation; the published math that CVODE/ode15s/scipy-BDF
+all implement) is built here directly on jax/XLA primitives:
+
+* one ``lax.while_loop`` whose carry holds the full integrator state with
+  *static shapes* (the D difference array is padded to MAX_ORDER+3 rows),
+* Newton iterations as an inner ``lax.while_loop`` over a cached dense LU
+  (``jax.scipy.linalg.lu_factor``) — batched dense LU is the TPU-friendly
+  choice at the 10^2-10^3-species scale this framework targets (the
+  reference's KLU sparsity trick does not map to the MXU),
+* dense output evaluated from the BDF interpolating polynomial into a
+  statically-shaped ``saveat`` grid,
+* optional hard "stops" (sorted event times): steps are clamped so no step
+  straddles a stop — the XLA-native formulation of the reference's discrete
+  rate-update callbacks (solve_utils.jl:435-509): rate constants are pure
+  functions of time looked up at the step start, and stops guarantee no
+  step crosses a rate discontinuity,
+* optional nonnegativity rejection (reference ``ban_negatives`` /
+  ``isoutofdomain``, methods.jl:168-170).
+
+Everything is jit- and vmap-compatible: vmapping the solve turns one stiff
+integration into a lockstep batched integration (e.g. 256 condition
+profiles per chip) with per-element masking.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from .linalg import NewtonFactors, newton_factor, newton_solve
+
+MAX_ORDER = 5
+NEWTON_MAXITER = 4
+MIN_FACTOR = 0.2
+MAX_FACTOR = 10.0
+
+# Status codes
+RUNNING = 0
+DONE = 1
+FAIL_MAX_STEPS = -1
+FAIL_H_UNDERFLOW = -2
+
+
+class BDFState(NamedTuple):
+    t: jnp.ndarray
+    h: jnp.ndarray
+    order: jnp.ndarray        # int32 in 1..MAX_ORDER
+    D: jnp.ndarray            # (MAX_ORDER+3, ns) backward differences
+    n_equal_steps: jnp.ndarray
+    lu: jnp.ndarray           # LU factors of (I - c_lu J)
+    piv: jnp.ndarray
+    J: jnp.ndarray
+    current_jac: jnp.ndarray  # J evaluated at current state?
+    c_lu: jnp.ndarray         # c value the LU was factorised with
+    status: jnp.ndarray
+    n_steps: jnp.ndarray
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    n_fev: jnp.ndarray
+    n_jev: jnp.ndarray
+    n_lu: jnp.ndarray
+    save_ptr: jnp.ndarray
+    ys: jnp.ndarray           # (n_save, ns)
+    stop_ptr: jnp.ndarray
+
+
+class BDFResults(NamedTuple):
+    ys: jnp.ndarray
+    status: jnp.ndarray
+    t: jnp.ndarray
+    y_final: jnp.ndarray
+    n_steps: jnp.ndarray
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    n_fev: jnp.ndarray
+    n_jev: jnp.ndarray
+    n_lu: jnp.ndarray
+
+
+def _rms_norm(x):
+    return jnp.sqrt(jnp.mean(x * x))
+
+
+def _compute_R(factor, dtype):
+    """(MAX_ORDER+1)^2 rescaling matrix: R[i,j] = prod_{m=1..i}(m-1-factor*j)/m.
+
+    Column 0 is [1, 0, ...]; row 0 is all ones. Used to rescale the
+    backward-difference array D when the step size changes by ``factor``.
+    """
+    n = MAX_ORDER + 1
+    Iv = jnp.arange(1, n, dtype=dtype)[:, None]
+    Jv = jnp.arange(1, n, dtype=dtype)[None, :]
+    body = (Iv - 1 - factor * Jv) / Iv
+    M = jnp.zeros((n, n), dtype=dtype)
+    M = M.at[1:, 1:].set(body)
+    M = M.at[0, :].set(1.0)
+    return jnp.cumprod(M, axis=0)
+
+
+def _change_D(D, order, factor):
+    """Rescale D[:order+1] for a step-size change by ``factor``."""
+    dtype = D.dtype
+    RU = _compute_R(factor, dtype) @ _compute_R(jnp.asarray(1.0, dtype), dtype)
+    idx = jnp.arange(MAX_ORDER + 1)
+    active = (idx[:, None] <= order) & (idx[None, :] <= order)
+    RU_m = jnp.where(active, RU, jnp.eye(MAX_ORDER + 1, dtype=dtype))
+    return D.at[: MAX_ORDER + 1].set(RU_m.T @ D[: MAX_ORDER + 1])
+
+
+def _bdf_constants(dtype):
+    kappa = jnp.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0], dtype=dtype)
+    gamma = jnp.concatenate([
+        jnp.zeros((1,), dtype),
+        jnp.cumsum(1.0 / jnp.arange(1, MAX_ORDER + 1, dtype=dtype))])
+    alpha = (1.0 - kappa) * gamma
+    error_const = kappa * gamma + 1.0 / jnp.arange(1, MAX_ORDER + 2, dtype=dtype)
+    return kappa, gamma, alpha, error_const
+
+
+def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
+    """Hairer-style automatic initial step size (order-1 heuristic)."""
+    scale = atol + jnp.abs(y0) * rtol
+    d0 = _rms_norm(y0 / scale)
+    d1 = _rms_norm(f0 / scale)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    h0 = jnp.minimum(h0, jnp.abs(tf - t0))
+    h0 = jnp.maximum(h0, jnp.finfo(y0.dtype).tiny * 1e3)
+    y1 = y0 + h0 * f0
+    f1 = rhs(t0 + h0, y1)
+    d2 = _rms_norm((f1 - f0) / scale) / h0
+    h1 = jnp.where(jnp.maximum(d1, d2) <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / jnp.maximum(d1, d2)) ** 0.5)
+    return jnp.minimum(100 * h0, jnp.minimum(h1, jnp.abs(tf - t0)))
+
+
+@partial(jax.jit, static_argnames=("rhs", "jac", "max_steps", "nonnegative",
+                                   "lu_precision", "refine"))
+def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
+              t0, tf, saveat: jnp.ndarray,
+              rtol=1e-8, atol=1e-10,
+              stops: jnp.ndarray | None = None,
+              max_steps: int = 100000,
+              first_step=None,
+              nonnegative: bool = False,
+              lu_precision: str = "mixed",
+              refine: int = 1) -> BDFResults:
+    """Integrate ``dy/dt = rhs(t, y)`` from t0 to tf with BDF(1-5).
+
+    Args:
+      rhs: (t, y) -> dy/dt, traceable.
+      jac: (t, y) -> (ns, ns) Jacobian of rhs w.r.t. y, traceable.
+      saveat: increasing times in (t0, tf] to record (static shape); entries
+        <= t0 are skipped (callers emit u0 themselves).
+      stops: optional sorted event times (padded with +inf); no step ever
+        straddles one, and after hitting a stop the pre-clamp step size is
+        restored.
+      nonnegative: reject steps producing any negative component.
+    """
+    dtype = y0.dtype
+    ns = y0.shape[0]
+    t0 = jnp.asarray(t0, dtype)
+    tf = jnp.asarray(tf, dtype)
+    rtol = jnp.asarray(rtol, dtype)
+    atol = jnp.asarray(atol, dtype)
+    saveat = jnp.asarray(saveat, dtype)
+    n_save = saveat.shape[0]
+    if stops is None:
+        stops = jnp.full((1,), jnp.inf, dtype=dtype)
+    else:
+        stops = jnp.asarray(stops, dtype)
+    n_stops = stops.shape[0]
+
+    _, gamma, alpha, error_const = _bdf_constants(dtype)
+    newton_tol = jnp.maximum(10 * jnp.finfo(dtype).eps / rtol,
+                             jnp.minimum(0.03, rtol ** 0.5))
+    eps = jnp.finfo(dtype).eps
+
+    f0 = rhs(t0, y0)
+    if first_step is None:
+        h_init = select_initial_step(rhs, t0, y0, f0, tf, rtol, atol)
+    else:
+        h_init = jnp.asarray(first_step, dtype)
+
+    D0 = jnp.zeros((MAX_ORDER + 3, ns), dtype)
+    D0 = D0.at[0].set(y0).at[1].set(f0 * h_init)
+
+    lu_dtype = jnp.float32 if lu_precision == "mixed" else dtype
+
+    J0 = jac(t0, y0)
+    c0 = h_init / alpha[1]
+    fact0 = newton_factor(J0, c0, lu_dtype)
+    lu0, piv0 = fact0.lu, fact0.piv
+
+    tspan_scale = jnp.maximum(jnp.abs(tf), 1.0)
+    stop_ptr0 = jnp.searchsorted(stops, t0 + 4 * eps * tspan_scale, side="left")
+    save_ptr0 = jnp.searchsorted(saveat, t0, side="right")
+
+    state0 = BDFState(
+        t=t0, h=h_init, order=jnp.asarray(1, jnp.int32), D=D0,
+        n_equal_steps=jnp.asarray(0, jnp.int32),
+        lu=lu0, piv=piv0, J=J0,
+        current_jac=jnp.asarray(True), c_lu=c0,
+        status=jnp.asarray(RUNNING, jnp.int32),
+        n_steps=jnp.asarray(0, jnp.int32), n_accepted=jnp.asarray(0, jnp.int32),
+        n_rejected=jnp.asarray(0, jnp.int32), n_fev=jnp.asarray(2, jnp.int32),
+        n_jev=jnp.asarray(1, jnp.int32), n_lu=jnp.asarray(1, jnp.int32),
+        save_ptr=save_ptr0.astype(jnp.int32),
+        ys=jnp.zeros((n_save, ns), dtype),
+        stop_ptr=stop_ptr0.astype(jnp.int32),
+    )
+
+    def newton_iterate(t_new, y_pred, c, psi, scale, fact):
+        """Simplified Newton: find d with d = c f(t_new, y_pred + d) - psi."""
+        def cond(carry):
+            it, converged, diverged = carry[0], carry[1], carry[2]
+            return (~converged) & (~diverged) & (it < NEWTON_MAXITER)
+
+        def body(carry):
+            it, converged, diverged, d, y, dy_norm_old = carry
+            f = rhs(t_new, y)
+            res = c * f - psi - d
+            dy = newton_solve(fact, res, refine=refine)
+            dy_norm = _rms_norm(dy / scale)
+            rate = jnp.where(it > 0, dy_norm / jnp.maximum(dy_norm_old, 1e-300),
+                             jnp.asarray(jnp.inf, dtype))
+            bad = (it > 0) & (
+                (rate >= 1.0)
+                | (rate ** (NEWTON_MAXITER - it) / (1 - rate) * dy_norm > newton_tol))
+            d = d + dy
+            y = y + dy
+            conv = jnp.where(it > 0,
+                             (rate < 1.0) & (rate / (1 - rate) * dy_norm < newton_tol),
+                             dy_norm == 0.0)
+            return (it + 1, conv, bad & (~conv), d, y, dy_norm)
+
+        init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
+                jnp.zeros_like(y_pred), y_pred, jnp.asarray(0.0, dtype))
+        it, converged, _, d, y, _ = lax.while_loop(cond, body, init)
+        return converged, it, y, d
+
+    def fill_saveat(t_new, h, order, D, save_ptr, ys):
+        """Record BDF dense output at saveat points in (t_prev, t_new]."""
+        t_shift = t_new - h * jnp.arange(MAX_ORDER, dtype=dtype)
+        denom = h * (1.0 + jnp.arange(MAX_ORDER, dtype=dtype))
+
+        def dense_eval(tq):
+            x = (tq - t_shift) / denom
+            p = jnp.cumprod(x)
+            p = jnp.where(jnp.arange(MAX_ORDER) < order, p, 0.0)
+            return D[0] + p @ D[1: MAX_ORDER + 1]
+
+        def cond(carry):
+            ptr, _ = carry
+            in_range = saveat[jnp.minimum(ptr, n_save - 1)] <= t_new + 4 * eps * tspan_scale
+            return (ptr < n_save) & in_range
+
+        def body(carry):
+            ptr, ys = carry
+            yq = dense_eval(saveat[ptr])
+            ys = lax.dynamic_update_slice(ys, yq[None, :], (ptr, jnp.asarray(0, ptr.dtype)))
+            return ptr + 1, ys
+
+        return lax.while_loop(cond, body, (save_ptr, ys))
+
+    def step_attempt(s: BDFState) -> BDFState:
+        t = s.t
+        h_pre = s.h
+        order = s.order
+
+        # --- clamp h so no step straddles tf or the next stop ---
+        # Underflow floor is relative to the *current* t (plus a tiny absolute
+        # floor), so fast transients near t=0 can take arbitrarily small
+        # steps — chunkwise solves keep |t| local precisely to exploit this
+        # (reference implementation-details.md:5-28).
+        h_min = jnp.abs(t) * eps * 10 + jnp.finfo(dtype).tiny * 1e4
+        next_stop = jnp.where(s.stop_ptr < n_stops,
+                              stops[jnp.minimum(s.stop_ptr, n_stops - 1)],
+                              jnp.asarray(jnp.inf, dtype))
+        t_bound = jnp.minimum(tf, next_stop)
+        dist = t_bound - t
+        clamp = (t + h_pre) >= (t_bound - 4 * eps * tspan_scale)
+        h = jnp.where(clamp, dist, h_pre)
+        D = jnp.where(clamp, _change_D(s.D, order, h / h_pre), s.D)
+        n_equal_steps = jnp.where(clamp, jnp.asarray(0, jnp.int32), s.n_equal_steps)
+        t_new = jnp.where(clamp, t_bound, t + h)
+
+        # --- predictor ---
+        idx = jnp.arange(MAX_ORDER + 3)
+        y_pred = jnp.sum(jnp.where((idx <= order)[:, None], D, 0.0), axis=0)
+        scale_pred = atol + rtol * jnp.abs(y_pred)
+        gamma_w = jnp.where((idx >= 1) & (idx <= order),
+                            gamma[jnp.minimum(idx, MAX_ORDER)], 0.0)
+        psi = (gamma_w @ D) / alpha[order]
+        c = h / alpha[order]
+
+        # --- LU cache: refactor if c drifted (h/order change) ---
+        need_lu = jnp.abs(c - s.c_lu) > 1e-12 * jnp.abs(c)
+
+        def refactor(J):
+            f = newton_factor(J, c, lu_dtype)
+            return f.lu, f.piv
+
+        lu, piv = lax.cond(need_lu, lambda: refactor(s.J), lambda: (s.lu, s.piv))
+        n_lu = s.n_lu + need_lu.astype(jnp.int32)
+        fact = NewtonFactors(lu=lu, piv=piv, J=s.J, c=c)
+
+        converged, n_it, y_new, d = newton_iterate(t_new, y_pred, c, psi, scale_pred, fact)
+
+        def with_fresh_jac():
+            J2 = jac(t_new, y_pred)
+            lu2, piv2 = refactor(J2)
+            fact2 = NewtonFactors(lu=lu2, piv=piv2, J=J2, c=c)
+            conv2, n_it2, y2, d2 = newton_iterate(t_new, y_pred, c, psi, scale_pred, fact2)
+            return conv2, n_it2, y2, d2, J2, lu2, piv2
+
+        retry = (~converged) & (~s.current_jac)
+        converged, n_it, y_new, d, J, lu, piv = lax.cond(
+            retry, with_fresh_jac,
+            lambda: (converged, n_it, y_new, d, s.J, lu, piv))
+        current_jac = s.current_jac | retry
+        n_jev = s.n_jev + retry.astype(jnp.int32)
+        n_lu = n_lu + retry.astype(jnp.int32)
+
+        safety = 0.9 * (2 * NEWTON_MAXITER + 1) / (2 * NEWTON_MAXITER + n_it.astype(dtype))
+
+        # --- error test ---
+        scale = atol + rtol * jnp.abs(y_new)
+        err_norm = _rms_norm((error_const[order] * d) / scale)
+        neg = jnp.asarray(nonnegative) & (jnp.min(y_new) < 0.0)
+        accept = converged & (err_norm <= 1.0) & (~neg)
+
+        def on_newton_fail():
+            factor = jnp.asarray(0.5, dtype)
+            return s._replace(
+                h=h * factor, D=_change_D(D, order, factor),
+                n_equal_steps=jnp.asarray(0, jnp.int32),
+                J=J, lu=lu, piv=piv, c_lu=c, current_jac=current_jac,
+                n_rejected=s.n_rejected + 1, n_jev=n_jev, n_lu=n_lu)
+
+        def on_error_reject():
+            od = order.astype(dtype)
+            factor = jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
+                              MIN_FACTOR, 1.0)
+            factor = jnp.where(neg, jnp.minimum(factor, jnp.asarray(0.5, dtype)), factor)
+            return s._replace(
+                h=h * factor, D=_change_D(D, order, factor),
+                n_equal_steps=jnp.asarray(0, jnp.int32),
+                J=J, lu=lu, piv=piv, c_lu=c, current_jac=current_jac,
+                n_rejected=s.n_rejected + 1, n_jev=n_jev, n_lu=n_lu)
+
+        def on_accept():
+            n_eq = n_equal_steps + 1
+            D2 = D.at[order + 2].set(d - D[order + 1])
+            D2 = D2.at[order + 1].set(d)
+
+            def cascade_body(i, Dc):
+                j = order - i
+                return Dc.at[j].add(Dc[j + 1])
+            D2 = lax.fori_loop(0, order + 1, cascade_body, D2)
+
+            save_ptr2, ys2 = fill_saveat(t_new, h, order, D2, s.save_ptr, s.ys)
+
+            done = t_new >= tf - 4 * eps * tspan_scale
+            hit_stop = jnp.abs(t_new - next_stop) <= 4 * eps * tspan_scale
+            stop_ptr2 = s.stop_ptr + hit_stop.astype(jnp.int32)
+
+            def adapt():
+                od = order.astype(dtype)
+                err_m = jnp.where(
+                    order > 1,
+                    _rms_norm((error_const[jnp.maximum(order - 1, 0)] * D2[order]) / scale),
+                    jnp.asarray(jnp.inf, dtype))
+                err_p = jnp.where(
+                    order < MAX_ORDER,
+                    _rms_norm((error_const[jnp.minimum(order + 1, MAX_ORDER)]
+                               * D2[order + 2]) / scale),
+                    jnp.asarray(jnp.inf, dtype))
+                f_m = jnp.where(err_m > 0, err_m ** (-1.0 / od),
+                                jnp.asarray(MAX_FACTOR, dtype))
+                f_0 = jnp.where(err_norm > 0, err_norm ** (-1.0 / (od + 1)),
+                                jnp.asarray(MAX_FACTOR, dtype))
+                f_p = jnp.where(err_p > 0, err_p ** (-1.0 / (od + 2)),
+                                jnp.asarray(MAX_FACTOR, dtype))
+                factors = jnp.stack([f_m, f_0, f_p])
+                best = jnp.argmax(factors)
+                new_order = jnp.clip(order + best.astype(jnp.int32) - 1, 1, MAX_ORDER)
+                factor = jnp.clip(safety * factors[best], MIN_FACTOR, MAX_FACTOR)
+                return new_order, factor
+
+            do_adapt = (n_eq >= order + 1) & (~clamp)
+            new_order, factor = lax.cond(
+                do_adapt, adapt, lambda: (order, jnp.asarray(1.0, dtype)))
+            # After a clamped (stop/tf-hitting) step, restore the pre-clamp h.
+            factor = jnp.where(clamp, h_pre / h, factor)
+            apply_rescale = clamp | do_adapt
+            D3 = jnp.where(apply_rescale, _change_D(D2, new_order, factor), D2)
+            new_h = jnp.where(apply_rescale, h * factor, h)
+            n_eq2 = jnp.where(apply_rescale, jnp.asarray(0, jnp.int32), n_eq)
+
+            return s._replace(
+                t=t_new, h=new_h, order=new_order, D=D3, n_equal_steps=n_eq2,
+                lu=lu, piv=piv, J=J, c_lu=c,
+                current_jac=jnp.asarray(False),
+                status=jnp.where(done, DONE, RUNNING).astype(jnp.int32),
+                n_accepted=s.n_accepted + 1,
+                save_ptr=save_ptr2, ys=ys2, stop_ptr=stop_ptr2,
+                n_jev=n_jev, n_lu=n_lu)
+
+        s_new = lax.cond(accept, on_accept,
+                         lambda: lax.cond(converged, on_error_reject, on_newton_fail))
+        s_new = s_new._replace(
+            n_fev=s.n_fev + n_it + retry.astype(jnp.int32) * NEWTON_MAXITER,
+            n_steps=s.n_steps + 1)
+        too_many = s_new.n_steps >= max_steps
+        h_under = s_new.h < h_min
+        status = jnp.where(s_new.status == DONE, DONE,
+                           jnp.where(too_many, FAIL_MAX_STEPS,
+                                     jnp.where(h_under, FAIL_H_UNDERFLOW, RUNNING)))
+        return s_new._replace(status=status.astype(jnp.int32))
+
+    def loop_cond(s: BDFState):
+        return s.status == RUNNING
+
+    def loop_body(s: BDFState):
+        # Guarded so vmapped lanes that are already done stay frozen.
+        return lax.cond(s.status == RUNNING, step_attempt, lambda x: x, s)
+
+    final = lax.while_loop(loop_cond, loop_body, state0)
+
+    return BDFResults(
+        ys=final.ys, status=final.status, t=final.t, y_final=final.D[0],
+        n_steps=final.n_steps, n_accepted=final.n_accepted,
+        n_rejected=final.n_rejected, n_fev=final.n_fev,
+        n_jev=final.n_jev, n_lu=final.n_lu)

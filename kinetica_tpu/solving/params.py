@@ -1,0 +1,66 @@
+"""Simulation parameter container with early validation.
+
+Same capability as the reference's ``ODESimulationParams``
+(/root/reference/src/solving/params.jl:1-110): keyword-constructed, catches
+common errors before any expensive work. Field names and defaults match the
+reference; ``solver`` selects one of this framework's on-TPU integrators
+("bdf" — the default production stiff solver — or "rk45" for non-stiff
+systems) instead of a DiffEq solver object.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ODESimulationParams:
+    tspan: tuple[float, float]
+    u0: object                                  # dict[str, float] | sequence
+    solver: str = "bdf"
+    jac: bool = True                            # analytic Jacobian (vs autodiff)
+    sparse: bool = False                        # dense is the TPU-native choice
+    abstol: float = 1.0e-10
+    reltol: float = 1.0e-8
+    adaptive_tols: bool = True
+    update_tols: bool = False
+    solve_chunks: bool = True
+    solve_chunkstep: float = 1e-3
+    maxiters: int = 100000
+    ban_negatives: bool = False
+    progress: bool = False
+    save_interval: float | None = None
+    low_k_cutoff: object = "auto"               # float | "auto" | "none"
+    low_k_maxconc: float = 2.0
+    allow_short_u0: bool = False
+    # TPU-specific extensions (no reference equivalent):
+    dtype: str = "float64"                      # solve precision policy
+    lu_precision: str = "mixed"                 # "mixed" f32-LU+refinement | "full"
+
+    def __post_init__(self):
+        if self.tspan[0] >= self.tspan[1]:
+            raise ValueError(
+                f"Invalid time span: Start = {self.tspan[0]}, End = {self.tspan[1]}")
+
+        if isinstance(self.low_k_cutoff, str):
+            if self.low_k_cutoff not in ("auto", "none"):
+                raise ValueError(
+                    "low_k_cutoff must be a numerical value or one of ['auto', 'none']")
+        elif self.low_k_cutoff < 0:
+            raise ValueError(
+                "low_k_cutoff must be a positive number or one of ['auto', 'none']")
+
+        if self.solve_chunks:
+            n_chunks = self.tspan[1] / self.solve_chunkstep
+            if abs(n_chunks - round(n_chunks)) > 1e-9 * max(1.0, abs(n_chunks)):
+                raise ValueError(
+                    "Simulation timespan is not divisible by requested "
+                    "chunkwise simulation step size")
+
+        if (self.solve_chunks and self.save_interval is not None
+                and self.save_interval > self.solve_chunkstep):
+            raise ValueError(
+                "Solution save interval must be less than chunkwise "
+                "simulation step size")
+
+        if self.solver not in ("bdf", "rk45"):
+            raise ValueError(f"Unknown solver '{self.solver}' (use 'bdf' or 'rk45')")

@@ -1,0 +1,23 @@
+"""Test harness configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh (per the build environment's
+contract: multi-chip TPU hardware is unavailable, so sharding logic is
+validated on a host-platform mesh) and enables x64. Must run before any
+test module imports jax-dependent code.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)

@@ -1,0 +1,157 @@
+"""Integrator core tests: accuracy vs scipy, stops semantics, vmap, stats."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from kinetica_tpu.ops.bdf import DONE, bdf_solve
+from kinetica_tpu.ops.interp import left_constant_lookup
+
+
+def robertson_rhs(t, y):
+    return jnp.array([
+        -0.04 * y[0] + 1e4 * y[1] * y[2],
+        0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+        3e7 * y[1] ** 2])
+
+
+def robertson_jac(t, y):
+    return jnp.array([
+        [-0.04, 1e4 * y[2], 1e4 * y[1]],
+        [0.04, -1e4 * y[2] - 6e7 * y[1], -1e4 * y[1]],
+        [0.0, 6e7 * y[1], 0.0]])
+
+
+class TestBDFAccuracy:
+    def test_linear_decay_exact(self):
+        def rhs(t, y):
+            return -y
+
+        def jac(t, y):
+            return -jnp.eye(1, dtype=y.dtype)
+
+        saveat = jnp.linspace(0.1, 1.0, 10)
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1.0, saveat,
+                        rtol=1e-10, atol=1e-12, max_steps=2000)
+        assert int(res.status) == DONE
+        np.testing.assert_allclose(np.asarray(res.ys[:, 0]),
+                                   np.exp(-np.asarray(saveat)), rtol=1e-8)
+
+    @pytest.mark.parametrize("lu_precision", ["mixed", "full"])
+    def test_robertson_vs_scipy(self, lu_precision):
+        y0 = jnp.array([1.0, 0.0, 0.0])
+        saveat = jnp.asarray(np.logspace(-5, 5, 30))
+        res = bdf_solve(robertson_rhs, robertson_jac, y0, 0.0, 1e5, saveat,
+                        rtol=1e-8, atol=1e-10, lu_precision=lu_precision)
+        assert int(res.status) == DONE
+        sp = solve_ivp(
+            lambda t, y: np.asarray(robertson_rhs(t, jnp.asarray(y))),
+            (0, 1e5), np.array([1.0, 0.0, 0.0]), method="BDF",
+            jac=lambda t, y: np.asarray(robertson_jac(t, jnp.asarray(y))),
+            rtol=1e-8, atol=1e-10, t_eval=np.asarray(saveat))
+        # mole-fraction-style error: absolute error relative to total
+        err = np.max(np.abs(np.asarray(res.ys) - sp.y.T))
+        assert err < 1e-5
+        # final state tight agreement
+        np.testing.assert_allclose(np.asarray(res.y_final), sp.y[:, -1],
+                                   rtol=1e-6, atol=1e-12)
+
+    def test_stiff_transient_initial_conditions(self):
+        # the y0 that stresses h_min handling (fast initial transient)
+        y0 = jnp.array([0.5, 0.25, 0.25])
+        saveat = jnp.asarray(np.logspace(-5, 5, 20))
+        res = bdf_solve(robertson_rhs, robertson_jac, y0, 0.0, 1e5, saveat,
+                        rtol=1e-8, atol=1e-10)
+        assert int(res.status) == DONE
+        sp = solve_ivp(
+            lambda t, y: np.asarray(robertson_rhs(t, jnp.asarray(y))),
+            (0, 1e5), np.asarray(y0), method="BDF",
+            jac=lambda t, y: np.asarray(robertson_jac(t, jnp.asarray(y))),
+            rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.y_final), sp.y[:, -1],
+                                   rtol=1e-6, atol=1e-12)
+
+
+class TestBDFStops:
+    def test_rate_switch_at_stop(self):
+        # k: 1 for t in [0,1), 10 for t >= 1 — left-anchored lookup
+        tstops = jnp.array([0.0, 1.0])
+        ktab = jnp.array([[1.0], [10.0]])
+
+        def rhs(t, y):
+            return -left_constant_lookup(t, tstops, ktab)[0] * y
+
+        def jac(t, y):
+            return (-left_constant_lookup(t, tstops, ktab)[0]
+                    * jnp.eye(1, dtype=y.dtype))
+
+        sv = jnp.linspace(0.25, 2.0, 8)
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 2.0, sv,
+                        rtol=1e-10, atol=1e-12, stops=jnp.array([1.0]))
+        assert int(res.status) == DONE
+        t = np.asarray(sv)
+        exact = np.where(t <= 1.0, np.exp(-t), np.exp(-1.0) * np.exp(-10 * (t - 1)))
+        np.testing.assert_allclose(np.asarray(res.ys[:, 0]), exact, rtol=1e-5)
+
+    def test_without_stops_is_less_accurate_or_equal(self):
+        # sanity: the stops mechanism exists to protect discontinuities
+        tstops = jnp.array([0.0, 1.0])
+        ktab = jnp.array([[1.0], [10.0]])
+
+        def rhs(t, y):
+            return -left_constant_lookup(t, tstops, ktab)[0] * y
+
+        def jac(t, y):
+            return (-left_constant_lookup(t, tstops, ktab)[0]
+                    * jnp.eye(1, dtype=y.dtype))
+
+        sv = jnp.array([2.0])
+        exact = np.exp(-1.0) * np.exp(-10.0)
+        res_s = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 2.0, sv,
+                          rtol=1e-8, atol=1e-12, stops=jnp.array([1.0]))
+        err_s = abs(float(res_s.ys[0, 0]) - exact) / exact
+        assert err_s < 1e-4
+
+
+class TestBDFBatching:
+    def test_vmap_matches_individual(self):
+        saveat = jnp.asarray(np.logspace(-5, 5, 10))
+        y0b = jnp.stack([jnp.array([1.0, 0.0, 0.0]),
+                         jnp.array([0.5, 0.25, 0.25]),
+                         jnp.array([0.9, 0.05, 0.05])])
+        solve1 = lambda y: bdf_solve(robertson_rhs, robertson_jac, y, 0.0, 1e5,
+                                     saveat, rtol=1e-8, atol=1e-10)
+        out = jax.vmap(solve1)(y0b)
+        assert np.all(np.asarray(out.status) == DONE)
+        for i in range(3):
+            single = solve1(y0b[i])
+            np.testing.assert_allclose(np.asarray(out.ys[i]),
+                                       np.asarray(single.ys), rtol=1e-9, atol=1e-14)
+
+
+class TestBDFOptions:
+    def test_nonnegative(self):
+        # Aggressive decay that can overshoot below zero without the guard
+        def rhs(t, y):
+            return -50.0 * y
+
+        def jac(t, y):
+            return -50.0 * jnp.eye(1, dtype=y.dtype)
+
+        sv = jnp.linspace(0.1, 1.0, 5)
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1.0, sv,
+                        rtol=1e-6, atol=1e-8, nonnegative=True)
+        assert int(res.status) == DONE
+        assert np.all(np.asarray(res.ys) >= 0.0)
+
+    def test_max_steps_failure(self):
+        def rhs(t, y):
+            return -y
+
+        def jac(t, y):
+            return -jnp.eye(1, dtype=y.dtype)
+
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1e6,
+                        jnp.array([1e6]), rtol=1e-12, atol=1e-14, max_steps=3)
+        assert int(res.status) != DONE
