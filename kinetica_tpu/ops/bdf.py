@@ -78,6 +78,8 @@ class BDFResults(NamedTuple):
     status: jnp.ndarray
     t: jnp.ndarray
     y_final: jnp.ndarray
+    h: jnp.ndarray
+    order: jnp.ndarray
     n_steps: jnp.ndarray
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
@@ -153,12 +155,16 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               first_step=None,
               nonnegative: bool = False,
               lu_precision: str = "mixed",
-              refine: int = 1) -> BDFResults:
-    """Integrate ``dy/dt = rhs(t, y)`` from t0 to tf with BDF(1-5).
+              refine: int = 1,
+              args=None) -> BDFResults:
+    """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to tf with BDF(1-5).
 
     Args:
-      rhs: (t, y) -> dy/dt, traceable.
-      jac: (t, y) -> (ns, ns) Jacobian of rhs w.r.t. y, traceable.
+      rhs: (t, y, args) -> dy/dt, traceable.
+      jac: (t, y, args) -> (ns, ns) Jacobian of rhs w.r.t. y, traceable.
+      args: arbitrary traced pytree threaded to rhs/jac — lets callers embed
+        per-solve data (chunk index, rate tables, batched parameters)
+        without retracing.
       saveat: increasing times in (t0, tf] to record (static shape); entries
         <= t0 are skipped (callers emit u0 themselves).
       stops: optional sorted event times (padded with +inf); no step ever
@@ -166,6 +172,27 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         restored.
       nonnegative: reject steps producing any negative component.
     """
+    import inspect
+
+    # Internal calling convention: fn(t_stage, y, t_step_start). Discrete
+    # rate tables must be looked up at the *step start* (the reference's
+    # callback fires at a tstop and affects subsequent steps only,
+    # solve_utils.jl:488-509) while continuous profiles see the implicit
+    # stage time; user functions opt in by arity:
+    #   (t, y) | (t, y, args) | (t, y, args, t_step_start)
+    def _adapt(fn):
+        try:
+            n_params = len(inspect.signature(fn).parameters)
+        except (TypeError, ValueError):
+            n_params = 3
+        if n_params >= 4:
+            return lambda t, y, t_start: fn(t, y, args, t_start)
+        if n_params == 3:
+            return lambda t, y, t_start: fn(t, y, args)
+        return lambda t, y, t_start: fn(t, y)
+
+    rhs = _adapt(rhs)
+    jac = _adapt(jac)
     dtype = y0.dtype
     ns = y0.shape[0]
     t0 = jnp.asarray(t0, dtype)
@@ -185,9 +212,10 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                              jnp.minimum(0.03, rtol ** 0.5))
     eps = jnp.finfo(dtype).eps
 
-    f0 = rhs(t0, y0)
+    f0 = rhs(t0, y0, t0)
     if first_step is None:
-        h_init = select_initial_step(rhs, t0, y0, f0, tf, rtol, atol)
+        h_init = select_initial_step(lambda t, y: rhs(t, y, t0), t0, y0, f0,
+                                     tf, rtol, atol)
     else:
         h_init = jnp.asarray(first_step, dtype)
 
@@ -196,7 +224,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
     lu_dtype = jnp.float32 if lu_precision == "mixed" else dtype
 
-    J0 = jac(t0, y0)
+    J0 = jac(t0, y0, t0)
     c0 = h_init / alpha[1]
     fact0 = newton_factor(J0, c0, lu_dtype)
     lu0, piv0 = fact0.lu, fact0.piv
@@ -219,7 +247,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         stop_ptr=stop_ptr0.astype(jnp.int32),
     )
 
-    def newton_iterate(t_new, y_pred, c, psi, scale, fact):
+    def newton_iterate(t_new, t_start, y_pred, c, psi, scale, fact):
         """Simplified Newton: find d with d = c f(t_new, y_pred + d) - psi."""
         def cond(carry):
             it, converged, diverged = carry[0], carry[1], carry[2]
@@ -227,7 +255,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
         def body(carry):
             it, converged, diverged, d, y, dy_norm_old = carry
-            f = rhs(t_new, y)
+            f = rhs(t_new, y, t_start)
             res = c * f - psi - d
             dy = newton_solve(fact, res, refine=refine)
             dy_norm = _rms_norm(dy / scale)
@@ -288,8 +316,11 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                               jnp.asarray(jnp.inf, dtype))
         t_bound = jnp.minimum(tf, next_stop)
         dist = t_bound - t
-        clamp = (t + h_pre) >= (t_bound - 4 * eps * tspan_scale)
-        h = jnp.where(clamp, dist, h_pre)
+        # Stretch-clamp: if the step would reach within 2% of the boundary,
+        # stretch/shrink it to land exactly — avoids leaving degenerate
+        # sliver steps whose extreme D rescalings destroy the history.
+        clamp = (t + 1.02 * h_pre) >= (t_bound - 4 * eps * tspan_scale)
+        h = jnp.where(clamp, jnp.maximum(dist, h_min), h_pre)
         D = jnp.where(clamp, _change_D(s.D, order, h / h_pre), s.D)
         n_equal_steps = jnp.where(clamp, jnp.asarray(0, jnp.int32), s.n_equal_steps)
         t_new = jnp.where(clamp, t_bound, t + h)
@@ -314,13 +345,15 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         n_lu = s.n_lu + need_lu.astype(jnp.int32)
         fact = NewtonFactors(lu=lu, piv=piv, J=s.J, c=c)
 
-        converged, n_it, y_new, d = newton_iterate(t_new, y_pred, c, psi, scale_pred, fact)
+        converged, n_it, y_new, d = newton_iterate(t_new, t, y_pred, c, psi,
+                                                    scale_pred, fact)
 
         def with_fresh_jac():
-            J2 = jac(t_new, y_pred)
+            J2 = jac(t_new, y_pred, t)
             lu2, piv2 = refactor(J2)
             fact2 = NewtonFactors(lu=lu2, piv=piv2, J=J2, c=c)
-            conv2, n_it2, y2, d2 = newton_iterate(t_new, y_pred, c, psi, scale_pred, fact2)
+            conv2, n_it2, y2, d2 = newton_iterate(t_new, t, y_pred, c, psi,
+                                                  scale_pred, fact2)
             return conv2, n_it2, y2, d2, J2, lu2, piv2
 
         retry = (~converged) & (~s.current_jac)
@@ -339,6 +372,10 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         neg = jnp.asarray(nonnegative) & (jnp.min(y_new) < 0.0)
         accept = converged & (err_norm <= 1.0) & (~neg)
 
+        def _safe_factor(factor, fallback=0.5):
+            ok = jnp.isfinite(factor) & (factor > 0.0)
+            return jnp.where(ok, factor, jnp.asarray(fallback, dtype))
+
         def on_newton_fail():
             factor = jnp.asarray(0.5, dtype)
             return s._replace(
@@ -349,8 +386,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
         def on_error_reject():
             od = order.astype(dtype)
-            factor = jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
-                              MIN_FACTOR, 1.0)
+            factor = _safe_factor(jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
+                                           MIN_FACTOR, 1.0), MIN_FACTOR)
             factor = jnp.where(neg, jnp.minimum(factor, jnp.asarray(0.5, dtype)), factor)
             return s._replace(
                 h=h * factor, D=_change_D(D, order, factor),
@@ -400,8 +437,11 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             do_adapt = (n_eq >= order + 1) & (~clamp)
             new_order, factor = lax.cond(
                 do_adapt, adapt, lambda: (order, jnp.asarray(1.0, dtype)))
-            # After a clamped (stop/tf-hitting) step, restore the pre-clamp h.
-            factor = jnp.where(clamp, h_pre / h, factor)
+            # After a clamped (stop/tf-hitting) step, restore the pre-clamp h
+            # (capped: an uncapped restore from a sliver step would scale the
+            # high-order differences by factor**order and overflow them).
+            factor = jnp.where(clamp, jnp.minimum(h_pre / h, MAX_FACTOR), factor)
+            factor = _safe_factor(factor, 1.0)
             apply_rescale = clamp | do_adapt
             D3 = jnp.where(apply_rescale, _change_D(D2, new_order, factor), D2)
             new_h = jnp.where(apply_rescale, h * factor, h)
@@ -439,6 +479,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
     return BDFResults(
         ys=final.ys, status=final.status, t=final.t, y_final=final.D[0],
+        h=final.h, order=final.order,
         n_steps=final.n_steps, n_accepted=final.n_accepted,
         n_rejected=final.n_rejected, n_fev=final.n_fev,
         n_jev=final.n_jev, n_lu=final.n_lu)

@@ -1,0 +1,417 @@
+"""Solve methods: the static/variable x complete/chunkwise x
+continuous/discrete matrix.
+
+Capability parity with /root/reference/src/solving/methods.jl (864 LoC, six
+concrete ``solve_network`` variants), redesigned TPU-first:
+
+* The reference's per-chunk host loop with integrator ``reinit!``
+  (methods.jl:258-287, 796-847) becomes one ``lax.scan`` over chunks inside
+  a single jitted computation — each chunk integrates in *local* time
+  (avoiding dt/t float underflow, implementation-details.md:5-28) and the
+  chunk index rides the integrator's ``args`` to shift rate lookups onto
+  the global clock (the reference does this with
+  ``ChunkwiseRateUpdateAffect``, solve_utils.jl:488-509).
+* Discrete rate updates are a precomputed (tstops, k_table) pair consumed
+  by a left-anchored lookup in the RHS plus step clamping at the stops —
+  no callbacks (the XLA formulation of PresetTimeCallback /
+  DiscreteCallback, methods.jl:741-744).
+* Continuous mode embeds ``k(T(t), P(t))`` directly: calculators are plain
+  traceable jnp code, so the reference's biggest pain point — MTK symbolic
+  registration and ``structural_simplify`` codegen cost
+  (methods.jl:363-653) — disappears entirely.
+* The adaptive-tolerance retry loop mirrors ``adaptive_solve!``
+  (solve_utils.jl:376-424): tighten tolerances x10, at most 5 attempts,
+  floor at machine eps; tolerances are traced scalars so retries do not
+  recompile.
+"""
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..calculators.base import KineticCalculator
+from ..conditions.condition_set import ConditionSet
+from ..core.network import RxData, SpeciesData
+from ..models.mass_action import MassActionNetwork, build_mass_action
+from ..ops import bdf
+from ..ops.interp import left_constant_lookup
+from ..utils.interpolation import TimeSeries
+from ..utils.logging import logger
+from ..utils.time_units import create_savepoints
+from .filters import RxFilter
+from .params import ODESimulationParams
+from .solutions import (ODESolution, retcode_from_status)
+from .solve_utils import (apply_low_k_cutoff, calculate_discrete_rates,
+                          get_initial_rates, make_u0)
+
+DEFAULT_COMPLETE_SAVEPOINTS = 1000
+
+
+class AbstractODESolveMethod:
+    pass
+
+
+class StaticODESolve(AbstractODESolveMethod):
+    """Static-conditions kinetic CRN solve (methods.jl:7-41)."""
+
+    def __init__(self, pars: ODESimulationParams, conditions: ConditionSet,
+                 calculator: KineticCalculator, filter: RxFilter | None = None):
+        if not conditions.isstatic():
+            raise ValueError("All conditions must be static to run a StaticODESolve.")
+        if not calculator.has_conditions(conditions.symbols):
+            raise ValueError("Calculator does not support all of the provided conditions.")
+        self.pars = pars
+        self.conditions = conditions
+        self.calculator = calculator
+        self.filter = filter if filter is not None else RxFilter()
+
+
+class VariableODESolve(AbstractODESolveMethod):
+    """Variable-conditions kinetic CRN solve (methods.jl:44-79)."""
+
+    def __init__(self, pars: ODESimulationParams, conditions: ConditionSet,
+                 calculator: KineticCalculator, filter: RxFilter | None = None):
+        if not calculator.has_conditions(conditions.symbols):
+            raise ValueError("Calculator does not support all of the provided conditions.")
+        if not conditions.discrete_updates and not calculator.allows_continuous:
+            raise ValueError("Calculator does not support continuous rate updates "
+                             "in simulations.")
+        self.pars = pars
+        self.conditions = conditions
+        self.calculator = calculator
+        self.filter = filter if filter is not None else RxFilter()
+
+
+@dataclass
+class KineticIntegrator:
+    """The compiled problem handle returned by ``return_integrator=True``.
+
+    Bundles the traceable RHS/Jacobian, network arrays, initial state and
+    solve configuration so callers can step manually (the reference returns
+    the DiffEq integrator for the same purpose, methods.jl:96-105).
+    """
+    rhs: object
+    jac: object
+    net: MassActionNetwork
+    u0: jnp.ndarray
+    args: object
+    pars: ODESimulationParams
+    stops: np.ndarray | None
+
+    def solve_segment(self, t0, tf, saveat, rtol=None, atol=None):
+        return bdf.bdf_solve(
+            self.rhs, self.jac, self.u0, t0, tf, jnp.asarray(saveat),
+            rtol=self.pars.reltol if rtol is None else rtol,
+            atol=self.pars.abstol if atol is None else atol,
+            stops=None if self.stops is None else jnp.asarray(self.stops),
+            max_steps=int(self.pars.maxiters),
+            nonnegative=self.pars.ban_negatives,
+            lu_precision=self.pars.lu_precision,
+            args=self.args)
+
+
+# ---------------------------------------------------------------------------
+# RHS/Jacobian builders.  args convention: (t_shift, payload)
+#   static k    : payload = k vector
+#   discrete k  : payload = (tstops, k_table)
+#   continuous k: payload = None (k_fn closure over profile closed forms)
+# ---------------------------------------------------------------------------
+
+def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
+    if mode == "static":
+        def rhs(t, u, a):
+            return net.rhs(u, a[1])
+
+        def jac(t, u, a):
+            return net.jac(u, a[1])
+    elif mode == "discrete":
+        # k is looked up at the *step start* time (4-arg integrator
+        # convention): the step ending exactly at a tstop still uses the
+        # pre-jump k, and the next step (starting at the stop) picks up the
+        # new value — exact parity with the reference's update callbacks.
+        def _k(a, t_start):
+            tstops, ktab = a[1]
+            return left_constant_lookup(t_start + a[0], tstops, ktab)
+
+        def rhs(t, u, a, t_start):
+            return net.rhs(u, _k(a, t_start))
+
+        def jac(t, u, a, t_start):
+            return net.jac(u, _k(a, t_start))
+    elif mode == "continuous":
+        def rhs(t, u, a):
+            return net.rhs(u, k_fn(t + a[0]))
+
+        def jac(t, u, a):
+            return net.jac(u, k_fn(t + a[0]))
+    else:  # pragma: no cover
+        raise ValueError(mode)
+    return rhs, jac
+
+
+def _make_continuous_k_fn(conditions: ConditionSet, calculator: KineticCalculator):
+    """Traceable t -> k vector embedding profile closed forms + calculator."""
+    def k_fn(t):
+        conds = conditions.conditions_at(t)
+        return calculator(**conds)
+    return k_fn
+
+
+def _adaptive_device_solve(solve_fn, pars: ODESimulationParams):
+    """Host retry loop mirroring adaptive_solve! (solve_utils.jl:376-424).
+
+    ``solve_fn(abstol, reltol) -> (status, payload)``; tolerances tighten
+    x10 per retry (traced scalars — no recompilation), at most 5 attempts,
+    floored at machine eps.
+    """
+    abstol, reltol = pars.abstol, pars.reltol
+    mintol = np.finfo(np.float64).eps
+    attempts = 0
+    while True:
+        attempts += 1
+        status, payload = solve_fn(abstol, reltol)
+        status = int(status)
+        if status == bdf.DONE:
+            if pars.update_tols and (abstol != pars.abstol or reltol != pars.reltol):
+                logger.info("   - Writing new tolerances back to ODEParams.")
+                pars.abstol, pars.reltol = abstol, reltol
+            return status, payload, attempts
+        if not pars.adaptive_tols:
+            logger.error(" - Solve failed, not retrying as adaptive tolerance "
+                         "is not enabled.")
+            raise RuntimeError("ODE solution failed.")
+        if attempts >= 5:
+            logger.error(" - Too many attempts have been made to reduce solver "
+                         "tolerance, exiting.")
+            raise RuntimeError("ODE solution failed.")
+        if abstol / 10 <= mintol or reltol / 10 <= mintol:
+            logger.error(" - Solution cannot be converged by reducing solver "
+                         "tolerance any further, exiting.")
+            raise RuntimeError("ODE solution failed.")
+        abstol /= 10
+        reltol /= 10
+        logger.warning("   - ODE solution failed at current solver tolerances.")
+        logger.warning("   - Reducing tolerances to abstol = %g reltol = %g",
+                       abstol, reltol)
+
+
+def _complete_saveat(pars: ODESimulationParams) -> np.ndarray:
+    t0, tf = pars.tspan
+    if pars.save_interval is not None:
+        return create_savepoints(t0, tf, pars.save_interval)
+    return np.linspace(t0, tf, DEFAULT_COMPLETE_SAVEPOINTS + 1)
+
+
+def _chunk_save_grid(pars: ODESimulationParams):
+    """Local saveat grid (si, 2si, ..., chunkstep) and chunk count."""
+    chunkstep = pars.solve_chunkstep
+    si = pars.save_interval if pars.save_interval is not None else chunkstep
+    m = int(round(chunkstep / si))
+    if abs(m * si - chunkstep) > 1e-9 * chunkstep:
+        # non-divisible save interval: fall back to one save per chunk
+        m, si = 1, chunkstep
+    saveat_local = (np.arange(1, m + 1) * si).astype(np.float64)
+    saveat_local[-1] = chunkstep
+    n_chunks = int(round(pars.tspan[1] / chunkstep))
+    return saveat_local, n_chunks
+
+
+def _chunk_local_stops(global_stops: np.ndarray, n_chunks: int,
+                       chunkstep: float) -> np.ndarray:
+    """Per-chunk stop times in local coordinates, padded with +inf.
+
+    Only stops strictly inside (0, chunkstep) matter: chunk boundaries are
+    integration endpoints already (the reference's boundary bookkeeping,
+    methods.jl:800-818, is subsumed by exact per-chunk tf).
+    """
+    rows = []
+    max_len = 1
+    eps = 1e-12 * max(chunkstep * n_chunks, 1.0)
+    for nc in range(n_chunks):
+        lo, hi = nc * chunkstep, (nc + 1) * chunkstep
+        local = [g - lo for g in global_stops if lo + eps < g < hi - eps]
+        rows.append(local)
+        max_len = max(max_len, len(local))
+    out = np.full((n_chunks, max_len), np.inf)
+    for i, row in enumerate(rows):
+        out[i, : len(row)] = row
+    return out
+
+
+def _run_complete(rhs, jac, u0, pars: ODESimulationParams, saveat: np.ndarray,
+                  stops: np.ndarray | None, args_payload):
+    """Single whole-tspan device solve with adaptive-tolerance retries."""
+    t0, tf = pars.tspan
+    saveat_inner = jnp.asarray(saveat[saveat > t0 + 0.0])
+    stops_j = None if stops is None or len(stops) == 0 else jnp.asarray(stops)
+    zero = jnp.asarray(0.0, u0.dtype)
+
+    def solve_fn(abstol, reltol):
+        res = bdf.bdf_solve(
+            rhs, jac, u0, t0, tf, saveat_inner,
+            rtol=reltol, atol=abstol, stops=stops_j,
+            max_steps=int(pars.maxiters),
+            nonnegative=pars.ban_negatives,
+            lu_precision=pars.lu_precision,
+            args=(zero, args_payload))
+        return res.status, res
+
+    status, res, attempts = _adaptive_device_solve(solve_fn, pars)
+    ys = np.concatenate([np.asarray(u0)[None], np.asarray(res.ys)])
+    ts = np.concatenate([[t0], np.asarray(saveat_inner)])
+    stats = {"n_steps": int(res.n_steps), "n_accepted": int(res.n_accepted),
+             "n_rejected": int(res.n_rejected), "n_fev": int(res.n_fev),
+             "n_jev": int(res.n_jev), "n_lu": int(res.n_lu),
+             "attempts": attempts}
+    return ts, ys, status, stats
+
+
+def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
+                   global_stops: np.ndarray | None, args_payload):
+    """lax.scan over local-time chunks (the reference's chunk loop,
+    methods.jl:796-847, as one device computation)."""
+    chunkstep = pars.solve_chunkstep
+    saveat_local, n_chunks = _chunk_save_grid(pars)
+    saveat_j = jnp.asarray(saveat_local)
+    if global_stops is not None and len(global_stops) > 0:
+        stops_rows = jnp.asarray(_chunk_local_stops(global_stops, n_chunks, chunkstep))
+    else:
+        stops_rows = jnp.full((n_chunks, 1), jnp.inf)
+    chunk_ids = jnp.arange(n_chunks, dtype=u0.dtype)
+
+    @jax.jit
+    def scan_solve(u0, abstol, reltol, payload):
+        def body(carry, xs):
+            u, worst = carry
+            nc, stops_row = xs
+            res = bdf.bdf_solve(
+                rhs, jac, u, 0.0, chunkstep, saveat_j,
+                rtol=reltol, atol=abstol, stops=stops_row,
+                max_steps=int(pars.maxiters),
+                nonnegative=pars.ban_negatives,
+                lu_precision=pars.lu_precision,
+                args=(nc * chunkstep, payload))
+            worst = jnp.minimum(worst, res.status)
+            return (res.y_final, worst), res.ys
+
+        (u_f, worst), ys = jax.lax.scan(
+            body, (u0, jnp.asarray(bdf.DONE, jnp.int32)), (chunk_ids, stops_rows))
+        return worst, ys
+
+    def solve_fn(abstol, reltol):
+        worst, ys = scan_solve(u0, jnp.asarray(abstol), jnp.asarray(reltol),
+                               args_payload)
+        return worst, ys
+
+    status, ys, attempts = _adaptive_device_solve(solve_fn, pars)
+    m = len(saveat_local)
+    ys = np.asarray(ys).reshape(n_chunks * m, -1)
+    ys = np.concatenate([np.asarray(u0)[None], ys])
+    ts = np.concatenate([
+        [0.0],
+        (np.arange(n_chunks)[:, None] * chunkstep + saveat_local[None, :]).ravel()])
+    return ts, ys, status, {"attempts": attempts, "n_chunks": n_chunks}
+
+
+# ---------------------------------------------------------------------------
+# solve_network — the public entry point (methods.jl:86-130, 330-360)
+# ---------------------------------------------------------------------------
+
+def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
+                  copy_network: bool = True, return_integrator: bool = False):
+    """Solve a CRN under the given method; returns an ``ODESolveOutput``.
+
+    Dispatch (mirroring the reference): StaticODESolve x {complete,
+    chunkwise}; VariableODESolve x {complete, chunkwise} x {continuous,
+    discrete}.
+    """
+    pars = method.pars
+    conditions = method.conditions
+    calc = method.calculator
+
+    if copy_network:
+        sd_active, rd_active = sd.copy(), rd.copy()
+    else:
+        sd_active, rd_active = sd, rd
+
+    is_variable = isinstance(method, VariableODESolve)
+    if is_variable:
+        logger.info(" - Calculating variable condition profiles.")
+        conditions.solve_variable_conditions(pars)
+
+    logger.info(" - Filtering reactions...")
+    mask = method.filter.get_filter_mask(sd_active, rd_active)
+    filtered_ids = list(np.flatnonzero(mask))
+    rd_active.splice(filtered_ids)
+    # The reference splices only rd here (methods.jl:344-346), which breaks
+    # precalculated calculators whose setup validates parameter lengths;
+    # splicing the calculator's per-reaction parameters too keeps filters
+    # usable with every calculator.
+    if filtered_ids:
+        calc.splice(filtered_ids)
+    logger.info("   - Removed %d filtered reactions from network", int(mask.sum()))
+
+    logger.info(" - Performing calculator-specific network setup.")
+    calc.setup_network(sd_active, rd_active, )
+
+    logger.info(" - Removing low-rate reactions")
+    apply_low_k_cutoff(rd_active, calc, pars, conditions)
+
+    dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
+    net = build_mass_action(rd_active, sd_active.n, dtype=dtype)
+    u0 = jnp.asarray(make_u0(sd_active, pars), dtype=dtype)
+
+    update_mode = ("discrete" if (is_variable and conditions.discrete_updates)
+                   else ("continuous" if is_variable else "static"))
+
+    # --- rate specification ---
+    k_series = None
+    if update_mode == "static":
+        k_vec = jnp.asarray(get_initial_rates(conditions, calc), dtype=dtype)
+        rhs, jac = _make_rhs_jac(net, "static")
+        payload = k_vec
+        global_stops = None
+    elif update_mode == "discrete":
+        logger.info(" - Pre-calculating rate constants at discrete time intervals.")
+        tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
+        rhs, jac = _make_rhs_jac(net, "discrete")
+        payload = (jnp.asarray(tstops, dtype=dtype), jnp.asarray(k_table, dtype=dtype))
+        global_stops = tstops
+        k_series = TimeSeries(tstops, k_table)
+    else:
+        k_fn = _make_continuous_k_fn(conditions, calc)
+        rhs, jac = _make_rhs_jac(net, "continuous", k_fn=k_fn)
+        payload = None
+        global_stops = np.asarray(conditions.get_tstops())
+
+    if return_integrator:
+        logger.info(" - Returning integrator early.")
+        return KineticIntegrator(rhs=rhs, jac=jac, net=net, u0=u0,
+                                 args=(jnp.asarray(0.0, dtype), payload),
+                                 pars=pars, stops=global_stops)
+
+    logger.info(" - Solving network...")
+    if pars.solve_chunks:
+        ts, ys, status, stats = _run_chunkwise(rhs, jac, u0, pars,
+                                               global_stops, payload)
+    else:
+        saveat = _complete_saveat(pars)
+        ts, ys, status, stats = _run_complete(rhs, jac, u0, pars, saveat,
+                                              global_stops, payload)
+    logger.info(" - Solved.")
+
+    # --- variable-condition traces at the save times (ODESolutionVC parity) ---
+    vcs = {}
+    if is_variable:
+        for sym, prof in conditions.get_variable_profiles().items():
+            vcs[sym] = np.asarray(prof.value(jnp.asarray(ts)), dtype=np.float64)
+
+    sol = ODESolution(t=ts, u=ys, retcode=retcode_from_status(status),
+                      vcs=vcs, k=k_series, stats=stats)
+
+    from ..analysis.io import ODESolveOutput
+    return ODESolveOutput(method, sol, sd_active, rd_active)

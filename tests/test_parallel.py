@@ -1,0 +1,100 @@
+"""Ensemble batching + mesh sharding tests (8 virtual CPU devices)."""
+import jax
+import numpy as np
+import pytest
+
+from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+from kinetica_tpu.conditions.condition_set import ConditionSet
+from kinetica_tpu.conditions.profiles import LinearGradientProfile
+from kinetica_tpu.core.network import RxData, SpeciesData
+from kinetica_tpu.parallel.batching import solve_network_ensemble
+from kinetica_tpu.parallel.sharding import batch_sharding, make_mesh
+from kinetica_tpu.solving.methods import VariableODESolve, solve_network
+from kinetica_tpu.solving.params import ODESimulationParams
+
+
+def pyrolysis():
+    sd = SpeciesData(["C", "[H]", "[CH3]", "[H][H]", "CC", "C=C"])
+    rd = RxData.from_reactions(
+        sd,
+        reacs=[["C"], ["[CH3]", "[H]"], ["C", "[H]"], ["[CH3]", "[CH3]"],
+               ["CC"], ["CC"]],
+        prods=[["[CH3]", "[H]"], ["C"], ["[CH3]", "[H][H]"], ["CC"],
+               ["C=C", "[H][H]"], ["[CH3]", "[CH3]"]])
+    Ea = np.array([3.6e5, 0.0, 4.0e4, 0.0, 3.2e5, 3.5e5])
+    A = np.array([1e-8, 1e-12, 1e-13, 1e-12, 1e-7, 1e-8])
+    return sd, rd, lambda: PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+
+
+def ramp_conditions(rate, tf, ts_update):
+    # same horizon for all members: X_end chosen from rate * tf
+    return ConditionSet(
+        {"T": LinearGradientProfile(rate=rate, X_start=300.0,
+                                    X_end=300.0 + rate * tf)},
+        ts_update=ts_update)
+
+
+class TestEnsemble:
+    def test_ensemble_matches_single_solves(self):
+        sd, rd, mkcalc = pyrolysis()
+        tf = 14.0
+        rates = [40.0, 50.0, 60.0, 70.0]
+        conditions_list = [ramp_conditions(r, tf, 0.5) for r in rates]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none")
+        method = VariableODESolve(pars, conditions_list[0], mkcalc())
+        ens = solve_network_ensemble(method, sd, rd,
+                                     conditions_list=conditions_list)
+        assert ens.n_batch == 4
+        assert ens.success
+        # each member equals its standalone solve
+        for i, r in enumerate(rates):
+            cs = ramp_conditions(r, tf, 0.5)
+            m = VariableODESolve(pars, cs, mkcalc())
+            single = solve_network(m, sd, rd)
+            np.testing.assert_allclose(ens.u[i], single.sol.u,
+                                       rtol=1e-6, atol=1e-12)
+        # vc traces per member differ
+        assert ens.vcs["T"].shape[0] == 4
+        assert ens.vcs["T"][0, -1] != ens.vcs["T"][-1, -1]
+
+    def test_ensemble_indexing(self):
+        sd, rd, mkcalc = pyrolysis()
+        tf = 7.0
+        conditions_list = [ramp_conditions(r, tf, 0.5) for r in [50.0, 100.0]]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none")
+        method = VariableODESolve(pars, conditions_list[0], mkcalc())
+        ens = solve_network_ensemble(method, sd, rd,
+                                     conditions_list=conditions_list)
+        sol0 = ens[0]
+        assert sol0.u.shape == (len(ens.t), sd.n)
+        assert sol0.success
+
+
+class TestSharding:
+    def test_mesh_creation(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_sharded_ensemble_matches_unsharded(self):
+        sd, rd, mkcalc = pyrolysis()
+        tf = 7.0
+        rates = [40.0 + 5 * i for i in range(8)]
+        conditions_list = [ramp_conditions(r, tf, 0.5) for r in rates]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none")
+        mesh = make_mesh(8)
+        method = VariableODESolve(pars, conditions_list[0], mkcalc())
+        ens_sharded = solve_network_ensemble(
+            method, sd, rd, conditions_list=conditions_list,
+            sharding=batch_sharding(mesh))
+        method2 = VariableODESolve(pars, conditions_list[0], mkcalc())
+        ens_plain = solve_network_ensemble(
+            method2, sd, rd, conditions_list=conditions_list)
+        assert ens_sharded.success
+        np.testing.assert_allclose(ens_sharded.u, ens_plain.u,
+                                   rtol=1e-10, atol=1e-14)

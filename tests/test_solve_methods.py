@@ -1,0 +1,219 @@
+"""End-to-end solve_network tests across the method matrix.
+
+Covers the solver-core test gap the reference leaves open (SURVEY.md §4):
+chunked-vs-complete equality, discrete-vs-continuous agreement, and
+cross-validation against scipy's BDF on the same mass-action system.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+from kinetica_tpu.conditions.condition_set import ConditionSet
+from kinetica_tpu.conditions.profiles import LinearDirectProfile, LinearGradientProfile
+from kinetica_tpu.core.network import RxData, SpeciesData
+from kinetica_tpu.solving.filters import RxFilter
+from kinetica_tpu.solving.methods import (StaticODESolve, VariableODESolve,
+                                          solve_network)
+from kinetica_tpu.solving.params import ODESimulationParams
+
+
+def pyrolysis_network():
+    sd = SpeciesData(["C", "[H]", "[CH3]", "[H][H]", "CC", "C=C"])
+    rd = RxData.from_reactions(
+        sd,
+        reacs=[["C"], ["[CH3]", "[H]"], ["C", "[H]"], ["[CH3]", "[CH3]"],
+               ["CC"], ["CC"]],
+        prods=[["[CH3]", "[H]"], ["C"], ["[CH3]", "[H][H]"], ["CC"],
+               ["C=C", "[H][H]"], ["[CH3]", "[CH3]"]],
+        dH=[4.5, -4.5, 0.1, -3.8, 1.5, 3.8])
+    Ea = np.array([3.6e5, 0.0, 4.0e4, 0.0, 3.2e5, 3.5e5])
+    A = np.array([1e-8, 1e-12, 1e-13, 1e-12, 1e-7, 1e-8])
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    return sd, rd, calc
+
+
+def scipy_reference(sd, rd, calc, conditions, tspan, u0_dict, n_eval=100):
+    """Continuous-mode scipy BDF solution of the identical system."""
+    from kinetica_tpu.models.mass_action import build_mass_action
+    net = build_mass_action(rd, sd.n)
+    u0 = np.zeros(sd.n)
+    for smi, c in u0_dict.items():
+        u0[sd.toInt[smi]] = c
+
+    def k_of_t(t):
+        conds = {s: (p.value if p.is_static else float(np.asarray(p.value(t))))
+                 for s, p in zip(conditions.symbols, conditions.profiles)}
+        return np.asarray(calc(**conds))
+
+    def rhs(t, y):
+        return np.asarray(net.rhs(jnp.asarray(y), jnp.asarray(k_of_t(t))))
+
+    def jac(t, y):
+        return np.asarray(net.jac(jnp.asarray(y), jnp.asarray(k_of_t(t))))
+
+    t_eval = np.linspace(tspan[0], tspan[1], n_eval)
+    sp = solve_ivp(rhs, tspan, u0, method="BDF", jac=jac, rtol=1e-10,
+                   atol=1e-12, t_eval=t_eval)
+    return t_eval, sp.y.T
+
+
+class TestStaticSolve:
+    def test_static_complete_vs_scipy(self):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet({"T": 900.0})
+        pars = ODESimulationParams(tspan=(0.0, 10.0), u0={"C": 1.0},
+                                   solve_chunks=False, save_interval=0.1)
+        res = solve_network(StaticODESolve(pars, conditions, calc), sd, rd)
+        assert res.sol.success
+        t_ref, u_ref = scipy_reference(sd, rd, calc, conditions, (0.0, 10.0),
+                                       {"C": 1.0})
+        ours = res.sol(t_ref)
+        assert np.max(np.abs(ours - u_ref)) < 1e-6
+
+    def test_static_chunkwise_matches_complete(self):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet({"T": 900.0})
+        pars_c = ODESimulationParams(tspan=(0.0, 10.0), u0={"C": 1.0},
+                                     solve_chunks=False, save_interval=0.5)
+        pars_ch = ODESimulationParams(tspan=(0.0, 10.0), u0={"C": 1.0},
+                                      solve_chunks=True, solve_chunkstep=0.5)
+        res_c = solve_network(StaticODESolve(pars_c, conditions, calc), sd, rd)
+        res_ch = solve_network(StaticODESolve(pars_ch, conditions, calc), sd, rd)
+        assert res_ch.sol.success
+        # identical save grids by construction
+        np.testing.assert_allclose(res_ch.sol.t, res_c.sol.t, atol=1e-12)
+        assert np.max(np.abs(res_ch.sol.u - res_c.sol.u)) < 1e-7
+
+    def test_rejects_variable_conditions(self):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet(
+            {"T": LinearDirectProfile(rate=50.0, X_start=300.0, X_end=400.0)})
+        pars = ODESimulationParams(tspan=(0.0, 2.0), u0={"C": 1.0})
+        with pytest.raises(ValueError):
+            StaticODESolve(pars, conditions, calc)
+
+
+class TestVariableSolve:
+    def _setup(self, ts_update=None, chunks=True, t_ramp_end=1000.0):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet(
+            {"T": LinearGradientProfile(rate=50.0, X_start=300.0,
+                                        X_end=t_ramp_end)},
+            ts_update=ts_update)
+        tf = conditions.get_t_final()
+        pars = ODESimulationParams(
+            tspan=(0.0, tf), u0={"C": 1.0},
+            solve_chunks=chunks, solve_chunkstep=tf / 28.0,
+            save_interval=tf / 28.0 if chunks else tf / 100.0)
+        return sd, rd, calc, conditions, pars
+
+    def test_continuous_complete_vs_scipy(self):
+        sd, rd, calc, conditions, pars = self._setup(chunks=False)
+        res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
+        assert res.sol.success
+        t_ref, u_ref = scipy_reference(sd, rd, calc, conditions, pars.tspan,
+                                       {"C": 1.0})
+        assert np.max(np.abs(res.sol(t_ref) - u_ref)) < 1e-6
+        # vc trace recorded
+        assert "T" in res.sol.vcs
+        assert res.sol.vcs["T"][0] == pytest.approx(300.0)
+        assert res.sol.vcs["T"][-1] == pytest.approx(1000.0)
+
+    def test_discrete_chunkwise_close_to_continuous(self):
+        # the reference's headline property: discrete updates are "almost
+        # indistinguishable from the continuous formalism" at small ts_update
+        sd, rd, calc, conditions_d, pars_d = self._setup(ts_update=0.1)
+        res_d = solve_network(VariableODESolve(pars_d, conditions_d, calc), sd, rd)
+        assert res_d.sol.success
+        assert res_d.sol.k is not None
+
+        sd2, rd2, calc2, conditions_c, pars_c = self._setup(chunks=False)
+        res_c = solve_network(VariableODESolve(pars_c, conditions_c, calc2), sd2, rd2)
+        diff = np.max(np.abs(res_d.sol(res_c.sol.t) - res_c.sol.u))
+        assert diff < 5e-4
+
+    def test_chunkwise_continuous(self):
+        sd, rd, calc, conditions, pars = self._setup(chunks=True)
+        res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
+        assert res.sol.success
+        sdc, rdc, calcc, conditions_c, pars_c = self._setup(chunks=False)
+        res_c = solve_network(VariableODESolve(pars_c, conditions_c, calcc), sdc, rdc)
+        # compare at the chunk grid against the finely-saved complete solve
+        # (interpolating the coarse chunk grid would dominate the error)
+        diff = np.max(np.abs(res.sol.u - res_c.sol(res.sol.t)))
+        assert diff < 1e-5
+
+    def test_discrete_complete(self):
+        sd, rd, calc, conditions, pars = self._setup(ts_update=0.1, chunks=False)
+        res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
+        assert res.sol.success
+
+    def test_requires_discrete_or_continuous_capable(self):
+        sd, rd, calc = pyrolysis_network()
+        calc.allows_continuous = False
+        conditions = ConditionSet(
+            {"T": LinearDirectProfile(rate=50.0, X_start=300.0, X_end=400.0)})
+        pars = ODESimulationParams(tspan=(0.0, 2.0), u0={"C": 1.0})
+        with pytest.raises(ValueError):
+            VariableODESolve(pars, conditions, calc)
+
+
+class TestFiltersAndCutoff:
+    def test_filter_removes_reactions(self):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet({"T": 900.0})
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C": 1.0},
+                                   solve_chunks=False, low_k_cutoff="none")
+        # remove ethane cracking channels (reactions involving CC as reactant)
+        filt = RxFilter([lambda sd_, rd_: np.array(
+            [sd_.toInt["CC"] in rd_.id_reacs[i] for i in range(rd_.nr)])])
+        res = solve_network(StaticODESolve(pars, conditions, calc, filt), sd, rd)
+        assert res.rd.nr == 4
+        assert rd.nr == 6  # original untouched (copy_network)
+
+    def test_low_k_cutoff_auto(self):
+        sd, rd, calc = pyrolysis_network()
+        # at low T the high-Ea channels are dead; auto cutoff removes them
+        conditions = ConditionSet({"T": 300.0})
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C": 1.0},
+                                   solve_chunks=False)
+        res = solve_network(StaticODESolve(pars, conditions, calc), sd, rd)
+        assert res.rd.nr < 6
+
+    def test_return_integrator(self):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet({"T": 900.0})
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C": 1.0},
+                                   solve_chunks=False)
+        integ = solve_network(StaticODESolve(pars, conditions, calc), sd, rd,
+                              return_integrator=True)
+        res = integ.solve_segment(0.0, 1.0, np.linspace(0.1, 1.0, 10))
+        assert int(res.status) == 1
+
+
+class TestSaveLoad:
+    def test_round_trip(self, tmp_path):
+        from kinetica_tpu.analysis.io import load_output, save_output
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet(
+            {"T": LinearGradientProfile(rate=50.0, X_start=300.0, X_end=1000.0)},
+            ts_update=0.5)
+        tf = conditions.get_t_final()
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=tf / 14)
+        res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
+        path = str(tmp_path / "out.npz")
+        save_output(res, path)
+        back = load_output(path)
+        assert back.rd.nr == res.rd.nr
+        assert back.sd.toInt == res.sd.toInt
+        np.testing.assert_allclose(back.sol.t, res.sol.t)
+        np.testing.assert_allclose(back.sol.u, res.sol.u)
+        np.testing.assert_allclose(back.sol_k.u, res.sol_k.u)
+        assert back.pars.tspan == res.pars.tspan
+        assert back.conditions.get_profile("T").rate == 50.0
+        np.testing.assert_allclose(back.sol.vcs["T"], res.sol.vcs["T"])
+        # interpolation works after load
+        assert back.sol(tf / 2).shape == (sd.n,)
