@@ -1,0 +1,126 @@
+"""Benchmark: TPU chunkwise stiff CRN solve vs CPU BDF (CVODE stand-in).
+
+Config 3+4 of BASELINE.md: a ~10^3-reaction synthetic pyrolysis CRN under a
+variable temperature ramp, solved chunkwise with discrete rate updates at
+reltol 1e-8 / abstol 1e-10, then the same solve batched over a sweep of
+condition profiles on one chip. The CPU baseline is scipy's BDF (same
+algorithm family as the reference's recommended CVODE_BDF; Sundials is not
+installable in this image) on the identical mass-action system, analytic
+Jacobian included.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where value = per-profile wall-clock speedup of the batched TPU sweep over
+the single-threaded CPU BDF solve, and vs_baseline is the same ratio
+(baseline = 1.0 = CPU BDF).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("KINETICA_BENCH_BATCH", "32"))
+N_CARBONS = int(os.environ.get("KINETICA_BENCH_NC", "16"))
+RTOL, ATOL = 1e-8, 1e-10
+
+
+def build():
+    from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+    from kinetica_tpu.conditions.condition_set import ConditionSet
+    from kinetica_tpu.conditions.profiles import LinearGradientProfile
+    from kinetica_tpu.solving.params import ODESimulationParams
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(N_CARBONS)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    tf = 14.0
+    rates = np.linspace(40.0, 60.0, BATCH)
+    conditions_list = [
+        ConditionSet({"T": LinearGradientProfile(
+            rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)},
+            ts_update=0.25)
+        for r in rates]
+    pars = ODESimulationParams(tspan=(0.0, tf), u0={f"C{N_CARBONS}": 1.0},
+                               solve_chunks=True, solve_chunkstep=0.5,
+                               low_k_cutoff="none", abstol=ATOL, reltol=RTOL)
+    return sd, rd, calc, conditions_list, pars
+
+
+def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
+    """scipy BDF on the identical system (continuous k(T(t)), analytic J)."""
+    import jax.numpy as jnp
+    from scipy.integrate import solve_ivp
+
+    from kinetica_tpu.models.mass_action import build_mass_action
+    from kinetica_tpu.solving.solve_utils import make_u0
+
+    net = build_mass_action(rd, sd.n)
+    prof = conditions.get_profile("T")
+
+    def k_of_t(t):
+        return np.asarray(calc(T=float(np.asarray(prof.value(t)))))
+
+    def rhs(t, y):
+        return np.asarray(net.rhs(jnp.asarray(y), jnp.asarray(k_of_t(t))))
+
+    def jac(t, y):
+        return np.asarray(net.jac(jnp.asarray(y), jnp.asarray(k_of_t(t))))
+
+    u0 = make_u0(sd, pars)
+    t0 = time.perf_counter()
+    sol = solve_ivp(rhs, pars.tspan, u0, method="BDF", jac=jac,
+                    rtol=RTOL, atol=ATOL)
+    dt = time.perf_counter() - t0
+    assert sol.success, "CPU baseline failed"
+    return dt, sol.y[:, -1]
+
+
+def main():
+    import kinetica_tpu  # noqa: F401  (enables x64)
+    import jax
+
+    from kinetica_tpu.parallel.batching import EnsembleProblem
+    from kinetica_tpu.solving.methods import VariableODESolve
+
+    sd, rd, calc, conditions_list, pars = build()
+    sys.stderr.write(f"bench: {sd.n} species, {rd.nr} reactions, "
+                     f"batch {BATCH}, device {jax.devices()[0].platform}\n")
+
+    # CPU baseline: one profile, single solve (the reference's workload unit)
+    cpu_dt, cpu_final = cpu_baseline_seconds(sd, rd, calc, conditions_list[0],
+                                             pars)
+    sys.stderr.write(f"bench: CPU BDF single profile: {cpu_dt:.2f}s\n")
+
+    # Device sweep: BATCH profiles at once (warm-up compile, then timed)
+    method = VariableODESolve(pars, conditions_list[0], calc)
+    problem = EnsembleProblem(method, sd, rd)
+    t0 = time.perf_counter()
+    ens = problem.solve(conditions_list=conditions_list)
+    compile_and_run = time.perf_counter() - t0
+    assert ens.success, f"device sweep failed: {ens.retcodes[:4]}..."
+    t0 = time.perf_counter()
+    ens = problem.solve(conditions_list=conditions_list)
+    sweep_dt = time.perf_counter() - t0
+    per_profile = sweep_dt / BATCH
+    sys.stderr.write(f"bench: device sweep: {sweep_dt:.2f}s total "
+                     f"({per_profile * 1e3:.1f} ms/profile; first run incl. "
+                     f"compile {compile_and_run:.1f}s)\n")
+
+    # accuracy guard: member 0 final state vs CPU baseline (mole-fraction)
+    err = np.max(np.abs(ens.u[0, -1] - cpu_final) / max(cpu_final.sum(), 1.0))
+    sys.stderr.write(f"bench: max mole-fraction error vs CPU BDF: {err:.2e}\n")
+    assert err < 1e-2, "accuracy gate failed"
+
+    speedup = cpu_dt / per_profile
+    print(json.dumps({
+        "metric": "pyrolysis_crn_variable_T_solve_per_profile_speedup",
+        "value": round(speedup, 3),
+        "unit": "x_vs_cpu_bdf",
+        "vs_baseline": round(speedup, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Plot recipes for kinetic simulation results.
+
+Matplotlib ports of the reference's Plots.jl recipes
+(/root/reference/src/analysis/plotting.jl):
+
+* :func:`plot_solution` — concentration vs time with ``label_above`` /
+  ``ignore_species`` / ``ignore_below`` selection (plotting.jl:1-42),
+* :func:`conditionsplot` — a variable condition trace with axis labelling
+  (plotting.jl:45-69),
+* :func:`finalconcplot` — top-N final concentrations bar chart with radical
+  highlighting, conc/percent modes and log-x support (plotting.jl:80-171).
+
+All functions take an ``ODESolveOutput`` and return the matplotlib Axes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+CONDITION_LABELS = {
+    "T": "Temperature / K",
+    "P": "Pressure / Pa",
+    "V": "Volume / dm$^3$",
+}
+
+
+def _require_mpl():
+    try:
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        return plt
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("matplotlib is required for plotting") from exc
+
+
+def _is_radical(smiles: str) -> bool:
+    # heuristic used by the reference's highlight_radicals (plotting.jl:139):
+    # species whose SMILES carries an explicit radical atom.
+    return ("[" in smiles and "H]" not in smiles.replace("[H][H]", "")) or \
+        smiles.endswith("r")
+
+
+def plot_solution(res, label_above: float = 0.1, ignore_species=None,
+                  ignore_below: float | None = None, ax=None, t_unit="s"):
+    """Concentration-vs-time traces (reference plot recipe, plotting.jl:1-42).
+
+    Species whose maximum concentration exceeds ``label_above`` get legend
+    entries; ``ignore_species`` are dropped; traces never exceeding
+    ``ignore_below`` are dropped.
+    """
+    plt = _require_mpl()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 5))
+    ignore_species = set(ignore_species or [])
+    t = res.sol.t
+    for sid in range(res.sd.n):
+        smi = res.sd.toStr[sid]
+        if smi in ignore_species:
+            continue
+        trace = res.sol.u[:, sid]
+        peak = float(np.max(trace))
+        if ignore_below is not None and peak < ignore_below:
+            continue
+        label = smi if peak >= label_above else None
+        ax.plot(t, trace, label=label, lw=1.2)
+    ax.set_xlabel(f"Time / {t_unit}")
+    ax.set_ylabel("Concentration / mol dm$^{-3}$")
+    if ax.get_legend_handles_labels()[0]:
+        ax.legend(loc="best", fontsize=8)
+    return ax
+
+
+def conditionsplot(res, sym: str, ax=None, t_unit="s"):
+    """Plot one variable condition trace (plotting.jl:45-69)."""
+    plt = _require_mpl()
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 4))
+    if sym in res.sol.vcs:
+        trace = res.sol.vcs[sym]
+        t = res.sol.t
+    else:
+        prof = res.conditions.get_profile(sym)
+        if prof.sol is None:
+            raise ValueError(f"Condition {sym} has no solved profile to plot.")
+        t, trace = prof.sol.t, prof.sol.u
+    ax.plot(t, trace, color="tab:red", lw=1.5)
+    ax.set_xlabel(f"Time / {t_unit}")
+    ax.set_ylabel(CONDITION_LABELS.get(sym, f"{sym}"))
+    return ax
+
+
+def finalconcplot(res, n_top: int = 10, mode: str = "conc",
+                  highlight_radicals: bool = True, logx: bool = False,
+                  ax=None):
+    """Top-N final concentrations bar chart (plotting.jl:80-171).
+
+    ``mode`` is "conc" (mol dm^-3) or "percent" (% of total); radicals are
+    highlighted in a second colour when ``highlight_radicals``.
+    """
+    plt = _require_mpl()
+    if mode not in ("conc", "percent"):
+        raise ValueError("mode must be 'conc' or 'percent'")
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 5))
+    final = res.sol.u[-1].astype(np.float64).copy()
+    if mode == "percent":
+        final = 100.0 * final / max(final.sum(), 1e-300)
+    order = np.argsort(final)[::-1][:n_top][::-1]
+    labels = [res.sd.toStr[int(i)] for i in order]
+    values = final[order]
+    colors = ["tab:orange" if (highlight_radicals and _is_radical(l))
+              else "tab:blue" for l in labels]
+    ax.barh(np.arange(len(order)), np.maximum(values, 0.0), color=colors)
+    ax.set_yticks(np.arange(len(order)))
+    ax.set_yticklabels(labels, fontsize=8)
+    ax.set_xlabel("Concentration / mol dm$^{-3}$" if mode == "conc"
+                  else "Final mixture fraction / %")
+    if logx:
+        ax.set_xscale("log")
+    return ax

@@ -12,7 +12,9 @@ device mesh.
 Batching strategy: condition sweeps are expressed in *discrete-rate* form —
 every ensemble member shares one global tstop grid, and differs only in its
 precomputed k table (B, n_stops, nr) and/or its initial concentrations
-(B, ns). This keeps a single compiled program for the whole sweep.
+(B, ns). This keeps a single compiled program for the whole sweep;
+:class:`EnsembleProblem` holds that program so repeated sweeps (exploration
+loops, benchmarks) pay compilation once.
 """
 from __future__ import annotations
 
@@ -48,12 +50,131 @@ def build_condition_sweep(conditions_list: list[ConditionSet], calculator,
     tstops = np.unique(np.concatenate(grids))
     k_tables = []
     for cs in conditions_list:
-        scs = cs.get_static_conditions()
-        bound = dict(scs)
+        bound = dict(cs.get_static_conditions())
         for sym, prof in cs.get_variable_profiles().items():
             bound[sym] = jnp.asarray(prof.value(jnp.asarray(tstops)))
         k_tables.append(np.asarray(calculator(**bound)))
     return tstops, np.stack(k_tables)
+
+
+class EnsembleProblem:
+    """Reusable compiled ensemble sweep over one CRN.
+
+    Construction applies filters/setup once and traces a single
+    chunk-scanned, vmapped BDF program; ``solve`` runs it for any member
+    batch with matching shapes (no recompilation).
+    """
+
+    def __init__(self, method: VariableODESolve, sd: SpeciesData, rd: RxData):
+        self.method = method
+        pars = method.pars
+        calc = method.calculator
+
+        self.sd, self.rd = sd.copy(), rd.copy()
+        mask = method.filter.get_filter_mask(self.sd, self.rd)
+        ids = list(np.flatnonzero(mask))
+        self.rd.splice(ids)
+        if ids:
+            calc.splice(ids)
+        calc.setup_network(self.sd, self.rd)
+
+        self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
+        self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
+        self.rhs, self.jac = _make_rhs_jac(self.net, "discrete")
+        self.chunkstep = pars.solve_chunkstep
+        self.saveat_local, self.n_chunks = _chunk_save_grid(pars)
+        self._saveat_j = jnp.asarray(self.saveat_local)
+        self._chunk_ids = jnp.arange(self.n_chunks, dtype=self.dtype)
+        self.pars = pars
+
+        pars_ref = pars
+        chunkstep = self.chunkstep
+        rhs, jac = self.rhs, self.jac
+        saveat_j = self._saveat_j
+        chunk_ids = self._chunk_ids
+
+        def member(u0, ktab, tstops, stops_rows, abstol, reltol):
+            def body(carry, xs):
+                u, worst = carry
+                nc, stops_row = xs
+                res = bdf.bdf_solve(
+                    rhs, jac, u, 0.0, chunkstep, saveat_j,
+                    rtol=reltol, atol=abstol, stops=stops_row,
+                    max_steps=int(pars_ref.maxiters),
+                    nonnegative=pars_ref.ban_negatives,
+                    lu_precision=pars_ref.lu_precision,
+                    args=(nc * chunkstep, (tstops, ktab)))
+                return (res.y_final, jnp.minimum(worst, res.status)), res.ys
+
+            (_, worst), ys = jax.lax.scan(
+                body, (u0, jnp.asarray(bdf.DONE, jnp.int32)),
+                (chunk_ids, stops_rows))
+            return worst, ys
+
+        self._solve_fn = jax.jit(
+            jax.vmap(member, in_axes=(0, 0, None, None, None, None)))
+
+    def solve(self, conditions_list: list[ConditionSet] | None = None,
+              u0s: np.ndarray | None = None, sharding=None,
+              k_tables: np.ndarray | None = None,
+              tstops: np.ndarray | None = None) -> EnsembleSolution:
+        pars = self.pars
+        calc = self.method.calculator
+
+        if k_tables is None:
+            if conditions_list is None:
+                self.method.conditions.solve_variable_conditions(pars)
+                tstops, k_table = calculate_discrete_rates(
+                    self.method.conditions, calc, self.rd.nr)
+                k_tables = k_table[None]
+            else:
+                tstops, k_tables = build_condition_sweep(
+                    conditions_list, calc, self.rd.nr, pars)
+        B = k_tables.shape[0]
+        if u0s is None:
+            u0s = np.broadcast_to(make_u0(self.sd, pars), (B, self.sd.n))
+        elif u0s.shape[0] != B:
+            if B == 1:
+                k_tables = np.broadcast_to(
+                    k_tables, (u0s.shape[0],) + k_tables.shape[1:])
+                B = u0s.shape[0]
+            else:
+                raise ValueError("u0s and condition batch sizes do not match")
+
+        stops_rows = jnp.asarray(
+            _chunk_local_stops(tstops, self.n_chunks, self.chunkstep))
+        u0s_j = jnp.asarray(u0s, dtype=self.dtype)
+        ktabs_j = jnp.asarray(k_tables, dtype=self.dtype)
+        if sharding is not None:
+            u0s_j = jax.device_put(u0s_j, sharding)
+            ktabs_j = jax.device_put(ktabs_j, sharding)
+
+        logger.info(" - Solving %d-member ensemble (%d chunks each)...",
+                    B, self.n_chunks)
+        statuses, ys = self._solve_fn(
+            u0s_j, ktabs_j, jnp.asarray(tstops, dtype=self.dtype), stops_rows,
+            jnp.asarray(pars.abstol), jnp.asarray(pars.reltol))
+        statuses = np.asarray(statuses)
+        m = len(self.saveat_local)
+        ys = np.asarray(ys).reshape(B, self.n_chunks * m, -1)
+        ys = np.concatenate([np.asarray(u0s)[:, None, :], ys], axis=1)
+        ts = np.concatenate([
+            [0.0],
+            (np.arange(self.n_chunks)[:, None] * self.chunkstep
+             + self.saveat_local[None, :]).ravel()])
+
+        vcs = {}
+        if conditions_list is not None:
+            for sym in conditions_list[0].symbols:
+                if conditions_list[0].get_profile(sym).is_variable:
+                    vcs[sym] = np.stack([
+                        np.asarray(cs.get_profile(sym).value(jnp.asarray(ts)))
+                        for cs in conditions_list])
+
+        return EnsembleSolution(
+            t=ts, u=ys,
+            retcodes=[retcode_from_status(s) for s in statuses],
+            vcs=vcs, stats={"n_chunks": self.n_chunks, "batch": B})
 
 
 def solve_network_ensemble(method: VariableODESolve, sd: SpeciesData,
@@ -61,105 +182,7 @@ def solve_network_ensemble(method: VariableODESolve, sd: SpeciesData,
                            conditions_list: list[ConditionSet] | None = None,
                            u0s: np.ndarray | None = None,
                            sharding=None) -> EnsembleSolution:
-    """Chunkwise discrete-rate ensemble solve, vmapped over members.
-
-    * ``conditions_list`` — one ConditionSet per member (defaults to the
-      method's own conditions for every member).
-    * ``u0s`` — optional (B, ns) initial concentrations (defaults to
-      ``pars.u0`` for every member).
-    * ``sharding`` — optional ``jax.sharding.NamedSharding`` with a batch
-      axis: member arrays are placed with it so the sweep spans the mesh
-      (XLA handles the rest; members are independent so no collectives are
-      needed on the hot path).
-    """
-    pars = method.pars
-    calc = method.calculator
-
-    sd_a, rd_a = sd.copy(), rd.copy()
-    mask = method.filter.get_filter_mask(sd_a, rd_a)
-    ids = list(np.flatnonzero(mask))
-    rd_a.splice(ids)
-    if ids:
-        calc.splice(ids)
-    calc.setup_network(sd_a, rd_a)
-
-    dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
-    net = build_mass_action(rd_a, sd_a.n, dtype=dtype)
-
-    if conditions_list is None:
-        method.conditions.solve_variable_conditions(pars)
-        tstops, k_table = calculate_discrete_rates(method.conditions, calc, rd_a.nr)
-        k_tables = k_table[None]
-    else:
-        tstops, k_tables = build_condition_sweep(conditions_list, calc,
-                                                 rd_a.nr, pars)
-    B = k_tables.shape[0]
-    if u0s is None:
-        u0_single = make_u0(sd_a, pars)
-        u0s = np.broadcast_to(u0_single, (B, sd_a.n))
-    elif u0s.shape[0] != B:
-        if B == 1:
-            k_tables = np.broadcast_to(k_tables, (u0s.shape[0],) + k_tables.shape[1:])
-            B = u0s.shape[0]
-        else:
-            raise ValueError("u0s and condition batch sizes do not match")
-
-    rhs, jac = _make_rhs_jac(net, "discrete")
-    chunkstep = pars.solve_chunkstep
-    saveat_local, n_chunks = _chunk_save_grid(pars)
-    stops_rows = jnp.asarray(_chunk_local_stops(tstops, n_chunks, chunkstep))
-    saveat_j = jnp.asarray(saveat_local)
-    chunk_ids = jnp.arange(n_chunks, dtype=dtype)
-    tstops_j = jnp.asarray(tstops, dtype=dtype)
-
-    def single(u0, ktab, abstol, reltol):
-        def body(carry, xs):
-            u, worst = carry
-            nc, stops_row = xs
-            res = bdf.bdf_solve(
-                rhs, jac, u, 0.0, chunkstep, saveat_j,
-                rtol=reltol, atol=abstol, stops=stops_row,
-                max_steps=int(pars.maxiters),
-                nonnegative=pars.ban_negatives,
-                lu_precision=pars.lu_precision,
-                args=(nc * chunkstep, (tstops_j, ktab)))
-            return (res.y_final, jnp.minimum(worst, res.status)), res.ys
-
-        (_, worst), ys = jax.lax.scan(
-            body, (u0, jnp.asarray(bdf.DONE, jnp.int32)),
-            (chunk_ids, stops_rows))
-        return worst, ys
-
-    batched = jax.vmap(single, in_axes=(0, 0, None, None))
-    fn = jax.jit(batched)
-
-    u0s_j = jnp.asarray(u0s, dtype=dtype)
-    ktabs_j = jnp.asarray(k_tables, dtype=dtype)
-    if sharding is not None:
-        u0s_j = jax.device_put(u0s_j, sharding)
-        ktabs_j = jax.device_put(ktabs_j, sharding)
-
-    logger.info(" - Solving %d-member ensemble (%d chunks each)...", B, n_chunks)
-    statuses, ys = fn(u0s_j, ktabs_j, jnp.asarray(pars.abstol),
-                      jnp.asarray(pars.reltol))
-    statuses = np.asarray(statuses)
-    m = len(saveat_local)
-    ys = np.asarray(ys).reshape(B, n_chunks * m, -1)
-    ys = np.concatenate([np.asarray(u0s)[:, None, :], ys], axis=1)
-    ts = np.concatenate([
-        [0.0],
-        (np.arange(n_chunks)[:, None] * chunkstep + saveat_local[None, :]).ravel()])
-
-    vcs = {}
-    if conditions_list is not None:
-        syms = conditions_list[0].symbols
-        for sym in syms:
-            if conditions_list[0].get_profile(sym).is_variable:
-                vcs[sym] = np.stack([
-                    np.asarray(cs.get_profile(sym).value(jnp.asarray(ts)))
-                    for cs in conditions_list])
-
-    return EnsembleSolution(
-        t=ts, u=ys,
-        retcodes=[retcode_from_status(s) for s in statuses],
-        vcs=vcs, stats={"n_chunks": n_chunks, "batch": B})
+    """One-shot chunkwise discrete-rate ensemble solve (compiles each call;
+    use :class:`EnsembleProblem` to amortise compilation across sweeps)."""
+    return EnsembleProblem(method, sd, rd).solve(
+        conditions_list=conditions_list, u0s=u0s, sharding=sharding)

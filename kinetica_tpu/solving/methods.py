@@ -37,7 +37,7 @@ from ..calculators.base import KineticCalculator
 from ..conditions.condition_set import ConditionSet
 from ..core.network import RxData, SpeciesData
 from ..models.mass_action import MassActionNetwork, build_mass_action
-from ..ops import bdf
+from ..ops import bdf, rk45
 from ..ops.interp import left_constant_lookup
 from ..utils.interpolation import TimeSeries
 from ..utils.logging import logger
@@ -153,6 +153,27 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
     return rhs, jac
 
 
+def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
+               rtol, atol, stops, args):
+    """Dispatch to the selected on-TPU integrator (pars.solver)."""
+    if pars.solver == "rk45":
+        res = rk45.rk45_solve(
+            rhs, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
+            max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
+            args=args)
+        return res.status, res.ys, res.y_final, {
+            "n_steps": res.n_steps, "n_accepted": res.n_accepted,
+            "n_rejected": res.n_rejected}
+    res = bdf.bdf_solve(
+        rhs, jac, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
+        max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
+        lu_precision=pars.lu_precision, args=args)
+    return res.status, res.ys, res.y_final, {
+        "n_steps": res.n_steps, "n_accepted": res.n_accepted,
+        "n_rejected": res.n_rejected, "n_fev": res.n_fev,
+        "n_jev": res.n_jev, "n_lu": res.n_lu}
+
+
 def _make_continuous_k_fn(conditions: ConditionSet, calculator: KineticCalculator):
     """Traceable t -> k vector embedding profile closed forms + calculator."""
     def k_fn(t):
@@ -251,22 +272,16 @@ def _run_complete(rhs, jac, u0, pars: ODESimulationParams, saveat: np.ndarray,
     zero = jnp.asarray(0.0, u0.dtype)
 
     def solve_fn(abstol, reltol):
-        res = bdf.bdf_solve(
-            rhs, jac, u0, t0, tf, saveat_inner,
-            rtol=reltol, atol=abstol, stops=stops_j,
-            max_steps=int(pars.maxiters),
-            nonnegative=pars.ban_negatives,
-            lu_precision=pars.lu_precision,
-            args=(zero, args_payload))
-        return res.status, res
+        status, ys, y_final, st = _integrate(
+            pars, rhs, jac, u0, t0, tf, saveat_inner, reltol, abstol,
+            stops_j, (zero, args_payload))
+        return status, (ys, st)
 
-    status, res, attempts = _adaptive_device_solve(solve_fn, pars)
-    ys = np.concatenate([np.asarray(u0)[None], np.asarray(res.ys)])
+    status, (ys_dev, st), attempts = _adaptive_device_solve(solve_fn, pars)
+    ys = np.concatenate([np.asarray(u0)[None], np.asarray(ys_dev)])
     ts = np.concatenate([[t0], np.asarray(saveat_inner)])
-    stats = {"n_steps": int(res.n_steps), "n_accepted": int(res.n_accepted),
-             "n_rejected": int(res.n_rejected), "n_fev": int(res.n_fev),
-             "n_jev": int(res.n_jev), "n_lu": int(res.n_lu),
-             "attempts": attempts}
+    stats = {k: int(v) for k, v in st.items()}
+    stats["attempts"] = attempts
     return ts, ys, status, stats
 
 
@@ -288,15 +303,11 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         def body(carry, xs):
             u, worst = carry
             nc, stops_row = xs
-            res = bdf.bdf_solve(
-                rhs, jac, u, 0.0, chunkstep, saveat_j,
-                rtol=reltol, atol=abstol, stops=stops_row,
-                max_steps=int(pars.maxiters),
-                nonnegative=pars.ban_negatives,
-                lu_precision=pars.lu_precision,
-                args=(nc * chunkstep, payload))
-            worst = jnp.minimum(worst, res.status)
-            return (res.y_final, worst), res.ys
+            status, ys, y_final, _ = _integrate(
+                pars, rhs, jac, u, 0.0, chunkstep, saveat_j, reltol, abstol,
+                stops_row, (nc * chunkstep, payload))
+            worst = jnp.minimum(worst, status)
+            return (y_final, worst), ys
 
         (u_f, worst), ys = jax.lax.scan(
             body, (u0, jnp.asarray(bdf.DONE, jnp.int32)), (chunk_ids, stops_rows))
