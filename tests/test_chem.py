@@ -1,0 +1,140 @@
+"""chem-lite tests: SMILES round trips, perception, mapping, ingestion.
+
+Mirrors the coverage of the reference's Python-bridge tests
+(test/Python/{openbabel,rdkit}.jl) with chem-lite golden values.
+"""
+import numpy as np
+import pytest
+
+from kinetica_tpu.chem import (atom_map_frame, atom_map_smiles,
+                               canonical_smiles, frame_from_smiles,
+                               frame_positions, frame_species, frame_to_xyz,
+                               from_smiles, get_species_stats,
+                               ingest_xyz_system, is_isomorphic, make_frame,
+                               mol_from_frame, to_smiles, xyz_to_frame,
+                               xyz_to_frames)
+
+
+class TestSmilesRoundTrip:
+    CASES = ["C", "CC", "C=C", "[CH3]", "[H][H]", "[H]", "O", "O=C=O",
+             "C#N", "CCO", "C1CCCCC1", "CC(C)C", "C1=CC=CC=C1", "C1CC1",
+             "[CH2][CH2]", "C=CC=C", "[OH]", "[NH2]", "N", "[Ar]",
+             "C1CCC2CCCCC2C1", "OC1CCCC1", "C#C", "CC=O", "C(=O)O"]
+
+    @pytest.mark.parametrize("smi", CASES)
+    def test_parse_write_isomorphic(self, smi):
+        mol = from_smiles(smi)
+        out = to_smiles(mol)
+        assert is_isomorphic(mol, from_smiles(out))
+
+    def test_canonical_invariance(self):
+        assert to_smiles(from_smiles("CCO")) == to_smiles(from_smiles("OCC"))
+        assert (to_smiles(from_smiles("CC(C)CC"))
+                == to_smiles(from_smiles("CCC(C)C")))
+        # kekulised aromatic == aromatic input
+        assert (to_smiles(from_smiles("c1ccccc1"))
+                == to_smiles(from_smiles("C1=CC=CC=C1")))
+
+    def test_radicals(self):
+        assert from_smiles("[CH3]").radical_electrons(0) == 1
+        assert from_smiles("[CH2]").radical_electrons(0) == 2
+        assert from_smiles("C").radical_electrons(0) == 0
+
+    def test_formula_and_weight(self):
+        m = from_smiles("CCO")
+        assert m.formula() == "C2H6O"
+        assert m.molecular_weight() == pytest.approx(46.07, abs=0.01)
+
+
+class TestXYZ:
+    def test_frame_roundtrip(self):
+        f = make_frame(["C", "H"], [[0, 0, 0], [1.09, 0, 0]], {"energy": -1.5})
+        s = frame_to_xyz(f)
+        f2 = xyz_to_frame(s)
+        assert frame_species(f2) == ["C", "H"]
+        assert f2["info"]["energy"] == -1.5
+        np.testing.assert_allclose(frame_positions(f2), frame_positions(f))
+
+    def test_multiframe(self):
+        s = "1\nenergy=-1.0\nH 0 0 0\n1\nenergy=-2.0\nH 1 0 0\n"
+        frames = xyz_to_frames(s)
+        assert len(frames) == 2
+        assert frames[1]["info"]["energy"] == -2.0
+
+    def test_bare_energy_comment(self):
+        s = "1\n-42.5\nH 0 0 0\n"
+        assert xyz_to_frames(s)[0]["info"]["energy"] == -42.5
+
+
+class TestPerception:
+    def test_methane_geometry(self):
+        pos = np.array([[0, 0, 0], [0.63, 0.63, 0.63], [-0.63, -0.63, 0.63],
+                        [-0.63, 0.63, -0.63], [0.63, -0.63, -0.63]])
+        m = mol_from_frame(make_frame(["C", "H", "H", "H", "H"], pos))
+        assert to_smiles(m) == "C"
+
+    def test_ethene_double_bond(self):
+        pos = np.array([[0, 0, 0], [1.33, 0, 0], [-0.56, 0.92, 0],
+                        [-0.56, -0.92, 0], [1.89, 0.92, 0], [1.89, -0.92, 0]])
+        m = mol_from_frame(make_frame(["C", "C", "H", "H", "H", "H"], pos))
+        assert to_smiles(m) == "C=C"
+        assert m.bond_order(0, 1) == 2
+
+    def test_embed_roundtrip(self):
+        for smi in ["C", "CC", "C=C", "CCO", "[CH3]", "O", "CC(C)C"]:
+            frame = frame_from_smiles(smi)
+            assert to_smiles(mol_from_frame(frame)) == smi
+
+
+class TestIngestion:
+    def test_multi_fragment_system(self):
+        f1 = frame_from_smiles("C=C")
+        f2 = frame_from_smiles("O")
+        pos = np.vstack([frame_positions(f1), frame_positions(f2) + 8.0])
+        species = frame_species(f1) + frame_species(f2)
+        smis, frames = ingest_xyz_system(frame_to_xyz(make_frame(species, pos)))
+        assert sorted(smis) == ["C=C", "O"]
+        assert frames[0]["N_atoms"] + frames[1]["N_atoms"] == 9
+
+    def test_from_file(self, tmp_path):
+        path = tmp_path / "sys.xyz"
+        path.write_text(frame_to_xyz(frame_from_smiles("CC")))
+        smis, frames = ingest_xyz_system(str(path))
+        assert smis == ["CC"]
+
+
+class TestAtomMapping:
+    def test_ethene_mapping_structure(self):
+        frame = frame_from_smiles("C=C")
+        mapped = atom_map_smiles(frame, "C=C")
+        # all 6 atoms mapped, map numbers are a permutation of 1..6
+        import re
+        nums = sorted(int(x) for x in re.findall(r":(\d+)\]", mapped))
+        assert nums == [1, 2, 3, 4, 5, 6]
+        assert mapped.count("[C") == 2 and mapped.count("[H") == 4
+
+    def test_atom_map_frame_reorders(self):
+        frame = frame_from_smiles("CC")
+        mapped = atom_map_smiles(frame, "CC")
+        out = atom_map_frame(mapped, frame)
+        # output order corresponds to map numbers -> same molecule
+        assert to_smiles(mol_from_frame(out)) == "CC"
+
+    def test_mapping_mismatch_raises(self):
+        frame = frame_from_smiles("C")
+        with pytest.raises(ValueError):
+            atom_map_smiles(frame, "CC")
+
+
+class TestSpeciesStats:
+    def test_weights_and_radii(self):
+        from kinetica_tpu.core.network import SpeciesData
+        sd = SpeciesData(["C", "O"],
+                         [frame_from_smiles("C"), frame_from_smiles("O")])
+        get_species_stats(sd)
+        assert sd.cache["weights"][0] == pytest.approx(16.04, abs=0.01)
+        assert sd.cache["weights"][1] == pytest.approx(18.02, abs=0.01)
+        assert sd.cache["radii"][0] > 1.5  # >= vdW correction
+
+    def test_canonical_smiles_helper(self):
+        assert canonical_smiles("OCC") == canonical_smiles("CCO")
