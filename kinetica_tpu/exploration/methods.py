@@ -1,0 +1,310 @@
+"""Exploration drivers: Direct and Iterative CRN exploration.
+
+Capability parity with /root/reference/src/exploration/methods.jl:
+
+* :class:`DirectExplore` — single-level exploration of all reactions within
+  ``cde.radius`` of the starting reactants (methods.jl:18-25, 85-147),
+* :class:`IterativeExplore` — level loop: setup_level -> explore each
+  subspace to convergence -> ``solve_network`` on device -> gate the next
+  level's seeds on the batched kinetic solution -> converge when the seed
+  set is stable for ``seed_convergence_threshold`` levels
+  (methods.jl:49-61, 150-266),
+* :func:`explore_subspace` — the inner CDE loop with the
+  no-new-reactions convergence criterion and failure cycling
+  (methods.jl:281-384).
+
+Both drivers are restartable at level and subspace granularity from the
+filesystem (rcount / isconv / seeds.in markers), exactly as the reference.
+The per-level kinetic solve runs on TPU through
+:func:`kinetica_tpu.solving.methods.solve_network`.
+"""
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass, field
+
+from ..chem.conversion import frame_from_smiles
+from ..core.network import RxData, SpeciesData, init_network
+from ..solving.methods import AbstractODESolveMethod, solve_network
+from ..utils.logging import flush_log, logger
+from .cde import CDE
+from .explore_utils import (cleanup_network, identify_next_seeds,
+                            import_mechanism_inplace, import_network,
+                            load_current_seeds, load_past_seeds,
+                            make_inert_file, make_rcount, setup_level)
+from .location import ExploreLoc, find_current_loc
+
+
+class AbstractExploreMethod:
+    pass
+
+
+@dataclass
+class DirectExplore(AbstractExploreMethod):
+    rdir_head: str
+    reac_smiles: list[str]
+    cde: CDE
+    maxiters: int = 1000
+    rxn_convergence_threshold: int = 5
+    modify_network_on_solve: bool = True
+
+
+@dataclass
+class IterativeExplore(AbstractExploreMethod):
+    rdir_head: str
+    reac_smiles: list[str]
+    cde: CDE
+    maxiters: int = 1000
+    rxn_convergence_threshold: int = 5
+    seed_convergence_threshold: int = 3
+    seed_conc: float = 0.05
+    n_undirected_levels: int = 0
+    independent_blacklist: list[str] = field(default_factory=list)
+    inert_species: list[str] = field(default_factory=list)
+    modify_network_on_solve: bool = True
+
+
+def _mark_converged(loc: ExploreLoc) -> None:
+    os.makedirs(loc.path(), exist_ok=True)
+    with open(os.path.join(loc.path(), "isconv"), "w") as fh:
+        fh.write("true")
+
+
+def explore_subspace(sd: SpeciesData, rd: RxData, loc: ExploreLoc,
+                     exploremethod: AbstractExploreMethod) -> None:
+    """Inner CDE loop for one subspace (methods.jl:281-384)."""
+    logger.info("--------------------------")
+    logger.info("ENTERING SUBSPACE %d", loc.subspace)
+    logger.info("--------------------------")
+    flush_log()
+
+    cpath = os.path.join(loc.path(), "isconv")
+    if os.path.isfile(cpath):
+        logger.info("Subspace is already converged.")
+        return
+
+    cde = exploremethod.cde
+    cde.rdir = loc.path()
+    cde.init_xyz = os.path.join(loc.path(), "seeds.xyz")
+    rcount = make_rcount(os.path.join(loc.path(), "rcount"))
+
+    counter = 0
+    no_new_reacs_iters = 0
+    logger.info(" - %s iterations.", "Starting" if rcount == 0 else "Continuing")
+    flush_log()
+
+    while True:
+        if counter > exploremethod.maxiters:
+            raise RuntimeError(
+                f"{exploremethod.maxiters} iterations exceeded, exiting loop")
+        counter += 1
+        logger.info("--- ITERATION %d ---", counter)
+        rcount += 1
+
+        if cde.parallel_runs > 1:
+            rrange = range(rcount, rcount + cde.parallel_runs)
+            rcountend = cde(rrange)
+            if rcountend < rrange.start:
+                logger.warning("Sampling failed, cycling...")
+                flush_log()
+                rcount -= 1
+                continue
+            imported = range(rrange.start, rcountend + 1)
+        else:
+            if not cde(rcount):
+                logger.warning("Sampling failed, cycling...")
+                flush_log()
+                rcount -= 1
+                continue
+            imported = range(rcount, rcount + 1)
+
+        logger.info(" - Importing generated reactions.")
+        n_reacs_prev = rd.nr
+        for rc in imported:
+            import_mechanism_inplace(sd, rd, loc, rc)
+        rcount = imported.stop - 1
+        logger.info("   - Reaction network now contains %d reactions over %d "
+                    "unique fragments.", rd.nr, sd.n)
+        flush_log()
+
+        if n_reacs_prev != rd.nr:
+            no_new_reacs_iters = 0
+            logger.info(" - New reactions discovered, reaction network not "
+                        "converged.")
+            continue
+
+        no_new_reacs_iters += 1
+        logger.info(" - No new reactions discovered for %d/%d iterations.",
+                    no_new_reacs_iters, exploremethod.rxn_convergence_threshold)
+        if no_new_reacs_iters >= exploremethod.rxn_convergence_threshold:
+            logger.info("   - Species subspace converged!")
+            _mark_converged(loc)
+            return
+
+
+def explore_network(exploremethod: AbstractExploreMethod,
+                    solvemethod: AbstractODESolveMethod,
+                    savedir: str | None = None):
+    """Run a CRN exploration + kinetic simulation (methods.jl:85-266)."""
+    if isinstance(exploremethod, DirectExplore):
+        return _explore_direct(exploremethod, solvemethod, savedir)
+    if isinstance(exploremethod, IterativeExplore):
+        return _explore_iterative(exploremethod, solvemethod, savedir)
+    raise TypeError(f"Unknown explore method {type(exploremethod)}")
+
+
+def _save_checkpoint(res, savedir: str | None, name: str) -> None:
+    if savedir is None:
+        return
+    from ..analysis.io import save_output
+    os.makedirs(savedir, exist_ok=True)
+    saveto = os.path.join(savedir, name)
+    save_output(res, saveto)
+    logger.info("Network saved to %s", saveto)
+
+
+def _explore_direct(exploremethod: DirectExplore,
+                    solvemethod: AbstractODESolveMethod,
+                    savedir: str | None):
+    logger.info("#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-#")
+    logger.info("Kinetica Direct CRN Exploration")
+    logger.info("#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-#")
+    flush_log()
+
+    os.makedirs(exploremethod.rdir_head, exist_ok=True)
+    loc = find_current_loc(exploremethod.rdir_head)
+    if loc.level > 1:
+        raise RuntimeError("Current CRN level is greater than 1. Are you "
+                           "trying to continue an iterative exploration?")
+    seeds = exploremethod.reac_smiles
+    if loc.level == 0:
+        sd, rd = init_network()
+        for rsmi in dict.fromkeys(seeds):
+            sd.push_unique(rsmi, frame_from_smiles(
+                rsmi, seed=random.randint(1, 999999999)))
+        loc.inc_level()
+        setup_level(loc, sd, seeds)
+        logger.info("Starting breakdown generation within a radius of %d "
+                    "reactions.", exploremethod.cde.radius)
+    else:
+        cleanup_network(loc.rdir_head)
+        sd, rd = import_network(loc.rdir_head)
+        logger.info("Continuing breakdown generation within a radius of %d "
+                    "reactions.", exploremethod.cde.radius)
+
+    n_seeds = len(seeds)
+    n_subspaces = 1 if n_seeds == 1 else n_seeds + 1
+    explored: list[str] = []
+    while loc.subspace < n_subspaces:
+        spec = seeds[loc.subspace - 1]
+        if spec in explored:
+            _mark_converged(loc)
+            logger.info("Same-species reactions between %s already covered; "
+                        "skipping subspace %d", spec, loc.subspace)
+        else:
+            explore_subspace(sd, rd, loc, exploremethod)
+            explored.append(spec)
+        loc.inc_subspace()
+    explore_subspace(sd, rd, loc, exploremethod)
+
+    logger.info("Exploration complete, running kinetic simulation of current "
+                "network.")
+    flush_log()
+    res = solve_network(solvemethod, sd, rd,
+                        copy_network=not exploremethod.modify_network_on_solve)
+    logger.info("Direct network exploration complete.")
+    _save_checkpoint(res, savedir, "direct_network_final.npz")
+    return res
+
+
+def _explore_iterative(exploremethod: IterativeExplore,
+                       solvemethod: AbstractODESolveMethod,
+                       savedir: str | None):
+    logger.info("#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-")
+    logger.info("Kinetica Iterative CRN Exploration")
+    logger.info("#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-#-")
+    flush_log()
+
+    os.makedirs(exploremethod.rdir_head, exist_ok=True)
+    loc = find_current_loc(exploremethod.rdir_head)
+    if loc.level == 0:
+        sd, rd = init_network()
+        make_inert_file(exploremethod.rdir_head, exploremethod.inert_species)
+        for rsmi in (list(exploremethod.reac_smiles)
+                     + list(exploremethod.inert_species)):
+            sd.push_unique(rsmi, frame_from_smiles(
+                rsmi, seed=random.randint(1, 999999999)))
+        explored_seeds: list[str] = []
+        current_seeds = list(exploremethod.reac_smiles)
+        loc.inc_level()
+    else:
+        cleanup_network(loc.rdir_head)
+        sd, rd = import_network(loc.rdir_head)
+        explored_seeds = load_past_seeds(loc)
+        current_seeds = load_current_seeds(loc)
+
+    convergence_count = 0
+    res = None
+    while True:
+        logger.info("##########################")
+        logger.info("ENTERING LEVEL %d", loc.level)
+        logger.info("##########################")
+        flush_log()
+
+        setup_level(loc, sd, current_seeds)
+        n_seeds = len(current_seeds)
+        n_subspaces = 1 if n_seeds == 1 else n_seeds + 1
+
+        while loc.subspace < n_subspaces:
+            spec = current_seeds[loc.subspace - 1]
+            if spec in explored_seeds:
+                _mark_converged(loc)
+                logger.info("Same-species reactions between %s already "
+                            "covered; skipping subspace %d", spec, loc.subspace)
+            elif spec in exploremethod.independent_blacklist:
+                _mark_converged(loc)
+                logger.info("Same-species reactions between %s prohibited by "
+                            "blacklist; skipping subspace %d", spec, loc.subspace)
+            else:
+                explore_subspace(sd, rd, loc, exploremethod)
+            loc.inc_subspace()
+        explore_subspace(sd, rd, loc, exploremethod)
+
+        logger.info("Exploration complete, running kinetic simulation of "
+                    "current network.")
+        flush_log()
+        res = solve_network(solvemethod, sd, rd,
+                            copy_network=not exploremethod.modify_network_on_solve)
+        _save_checkpoint(res, savedir, f"level_network_1-{loc.level}.npz")
+
+        explored_seeds += [s for s in current_seeds if s not in explored_seeds]
+        seeds_out = (None if savedir is None
+                     else os.path.join(savedir, f"seeds_level{loc.level}.out"))
+        if loc.level <= exploremethod.n_undirected_levels:
+            next_seeds = identify_next_seeds(
+                res.sol, res.sd, ignore=exploremethod.inert_species,
+                saveto=seeds_out)
+        else:
+            next_seeds = identify_next_seeds(
+                res.sol, res.sd, exploremethod.seed_conc,
+                ignore=exploremethod.inert_species, saveto=seeds_out)
+
+        if set(current_seeds) == set(next_seeds):
+            convergence_count += 1
+            if convergence_count >= exploremethod.seed_convergence_threshold:
+                logger.info("NO NEW SEEDS FOUND FOR %d/%d LEVELS — ITERATIVE "
+                            "EXPLORATION COMPLETE", convergence_count,
+                            exploremethod.seed_convergence_threshold)
+                break
+            logger.info("No new seeds found for %d/%d levels; continuing.",
+                        convergence_count,
+                        exploremethod.seed_convergence_threshold)
+        else:
+            logger.info("New seeds found, continuing to next level.")
+        loc.inc_level()
+        loc.reset_subspace()
+        current_seeds = list(next_seeds)
+        flush_log()
+
+    return res
