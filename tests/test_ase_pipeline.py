@@ -1,0 +1,162 @@
+"""ASE-pipeline tests for the backend-free parts.
+
+Mirrors the pure-logic coverage of the reference's test/Python/ase.jl
+(spin/magmom bookkeeping incl. error + success cases, builder smoke tests)
+without requiring ASE; ASE-gated entry points are verified to fail cleanly.
+"""
+import numpy as np
+import pytest
+
+from kinetica_tpu.ase import (EMTBuilder, NWChemDFTBuilder,
+                              correct_magmoms_for_mult, get_hydrogen_idxs,
+                              get_initial_sys_mult, get_rxn_mult, kabsch_fit,
+                              kabsch_rmsd, moments_of_inertia,
+                              permute_hydrogens, select_modes)
+from kinetica_tpu.ase.conversion import imaginary_ve_tol
+from kinetica_tpu.ase.properties import (get_charge, get_formal_charges,
+                                         get_initial_magmoms, get_mult)
+from kinetica_tpu.chem import backends, frame_from_smiles, make_frame
+from kinetica_tpu.chem.autode_glue import frame_geometry_class, frame_symmetry
+from kinetica_tpu.core.network import SpeciesData
+
+
+class TestSpinBookkeeping:
+    def test_mult(self):
+        sd = SpeciesData(["C", "[CH3]", "[CH2]", "[H]"])
+        assert get_mult(sd, 0) == 1
+        assert get_mult(sd, 1) == 2
+        assert get_mult(sd, 2) == 3
+        assert get_mult(sd, 3) == 2
+
+    def test_charge(self):
+        sd = SpeciesData(["C", "[NH4+]"])
+        assert get_charge(sd, 0) == 0
+        assert get_charge(sd, 1) == 1
+
+    def test_initial_magmoms(self):
+        sd = SpeciesData(["[CH3]"], [frame_from_smiles("[CH3]")])
+        mm = get_initial_magmoms(sd, 0)
+        assert mm.sum() == 1.0 and len(mm) == 4
+
+    def test_sys_and_rxn_mult(self):
+        # two doublets combine to a singlet system baseline
+        assert get_initial_sys_mult([2, 2]) == 3
+        assert get_initial_sys_mult([1, 1]) == 1
+        # the side with fewer species sets the mult (neb.jl:27-44)
+        assert get_rxn_mult(1, 1, 2, 3) == 1   # dissociation -> reactant mult
+        assert get_rxn_mult(2, 3, 1, 1) == 1   # association -> product mult
+        assert get_rxn_mult(2, 3, 2, 1) == 1   # balanced -> min
+
+    def test_correct_magmoms_match(self):
+        r, p = correct_magmoms_for_mult(np.array([0.0]), np.array([0.0]), 1)
+        assert r.sum() == 0 and p.sum() == 0
+
+    def test_correct_magmoms_flips_lone(self):
+        # two up-radical products vs singlet reactant: one flips down
+        r, p = correct_magmoms_for_mult(
+            np.array([0.0, 0.0]), np.array([1.0, 1.0]), 1)
+        assert p.sum() == 0.0 and sorted(p) == [-1.0, 1.0]
+
+    def test_correct_magmoms_double_flip(self):
+        # singlet carbene must flip to triplet to match mult 3
+        r, p = correct_magmoms_for_mult(np.array([2.0]), np.array([2.0]), 3)
+        assert r.sum() == 2.0
+
+    def test_correct_magmoms_error(self):
+        # reference ase.jl:32-39 covers the impossible case
+        with pytest.raises(ValueError):
+            correct_magmoms_for_mult(np.array([0.0]), np.array([0.0]), 3)
+
+
+class TestGeometryUtils:
+    def test_kabsch_recovers_rotation(self, rng):
+        P = rng.normal(size=(8, 3))
+        theta = 0.7
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+        Q = P @ R.T + np.array([1.0, -2.0, 0.5])
+        assert kabsch_rmsd(P, Q) < 1e-10
+        np.testing.assert_allclose(kabsch_fit(P, Q), Q, atol=1e-10)
+
+    def test_hydrogen_permutation_reduces_rmsd(self):
+        # two H swapped relative to target
+        f2 = frame_from_smiles("C")
+        pos = np.asarray(f2["arrays"]["pos"]).copy()
+        pos_swapped = pos.copy()
+        pos_swapped[[1, 2]] = pos[[2, 1]]
+        f1 = make_frame(["C", "H", "H", "H", "H"], pos_swapped)
+        hidxs = [[2, 3, 4, 5]]
+        fixed = permute_hydrogens(f1, hidxs, f2)
+        assert kabsch_rmsd(np.asarray(fixed["arrays"]["pos"]),
+                           pos) < 1e-8
+
+    def test_get_hydrogen_idxs(self):
+        from kinetica_tpu.chem import atom_map_smiles
+        frame = frame_from_smiles("C")
+        amsmi = atom_map_smiles(frame, "C")
+        hidxs = get_hydrogen_idxs(amsmi)
+        assert len(hidxs) == 1 and len(hidxs[0]) == 4
+
+    def test_moments_of_inertia(self):
+        # H2: linear -> smallest moment ~ 0; other two equal
+        f = make_frame(["H", "H"], [[0, 0, 0], [0.74, 0, 0]])
+        m = moments_of_inertia(f)
+        assert m[0] == pytest.approx(0.0, abs=1e-10)
+        assert m[1] == pytest.approx(m[2])
+        # value: 2 * m_H * (r/2)^2
+        assert m[1] == pytest.approx(2 * 1.008 * 0.37 ** 2, rel=1e-3)
+
+    def test_geometry_class(self):
+        assert frame_geometry_class(make_frame(["Ar"], [[0, 0, 0]])) == 0
+        assert frame_geometry_class(
+            make_frame(["H", "H"], [[0, 0, 0], [0.74, 0, 0]])) == 1
+        assert frame_geometry_class(frame_from_smiles("C")) == 2
+
+    def test_frame_symmetry_fallback(self):
+        water = make_frame(["O", "H", "H"],
+                           [[0.0, 0.0, 0.0], [0.96, 0.0, 0.0],
+                            [-0.24, 0.93, 0.0]])
+        sigma, geom = frame_symmetry(water)
+        assert geom == 2
+        assert sigma == 1.0  # conservative fallback without autodE
+
+
+class TestVibrationLogic:
+    def test_select_modes_nonlinear(self):
+        # 5-atom nonlinear: keep 3N-6 = 9 of 15
+        ve = np.arange(1, 16, dtype=float) * 0.01
+        out = select_modes(ve, 5, 2, ivetol=0.1)
+        assert len(out) == 9
+        assert out[0] == pytest.approx(0.07)
+
+    def test_select_modes_linear(self):
+        ve = np.arange(1, 7, dtype=float) * 0.1
+        out = select_modes(ve, 2, 1, ivetol=0.1)
+        assert len(out) == 1
+
+    def test_imaginary_tolerance(self):
+        ve = np.array([0.3 + 0.2j, 0.5, 0.6])
+        with pytest.raises(RuntimeError):
+            select_modes(ve, 1 + 2, 2, ivetol=0.1)  # 3N-6 < len keeps all 3
+        out = select_modes(ve, 3, 2, ivetol=0.0)
+        assert 0.3 in out  # real part kept when stripping
+
+    def test_imaginary_ve_tol_conversion(self):
+        assert imaginary_ve_tol(100.0) == pytest.approx(0.0124, rel=1e-2)
+
+
+class TestGating:
+    def test_builders_construct_without_ase(self):
+        b = EMTBuilder()
+        n = NWChemDFTBuilder(xc="pbe")
+        assert n.xc == "pbe"
+        if not backends.HAS_ASE:
+            with pytest.raises(ImportError):
+                b("/tmp", 1, 0)
+
+    def test_aseneb_calculator_gated(self):
+        if backends.HAS_ASE:
+            pytest.skip("ASE installed; gate not applicable")
+        from kinetica_tpu.ase.calculator import ASENEBCalculator
+        with pytest.raises(ImportError):
+            ASENEBCalculator(calc_builder=EMTBuilder())
