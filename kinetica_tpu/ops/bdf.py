@@ -222,6 +222,11 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     D0 = jnp.zeros((MAX_ORDER + 3, ns), dtype)
     D0 = D0.at[0].set(y0).at[1].set(f0 * h_init)
 
+    # "full" keeps the LU in the solve dtype; TPU XLA implements
+    # LuDecomposition only in F32, so full-precision LU is CPU-only and is
+    # silently demoted to the mixed path elsewhere.
+    if lu_precision == "full" and jax.default_backend() != "cpu":
+        lu_precision = "mixed"
     lu_dtype = jnp.float32 if lu_precision == "mixed" else dtype
 
     J0 = jac(t0, y0, t0)
@@ -422,12 +427,22 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                     _rms_norm((error_const[jnp.minimum(order + 1, MAX_ORDER)]
                                * D2[order + 2]) / scale),
                     jnp.asarray(jnp.inf, dtype))
-                f_m = jnp.where(err_m > 0, err_m ** (-1.0 / od),
-                                jnp.asarray(MAX_FACTOR, dtype))
-                f_0 = jnp.where(err_norm > 0, err_norm ** (-1.0 / (od + 1)),
-                                jnp.asarray(MAX_FACTOR, dtype))
-                f_p = jnp.where(err_p > 0, err_p ** (-1.0 / (od + 2)),
-                                jnp.asarray(MAX_FACTOR, dtype))
+
+                # err ** (-1/q) with guards: TPU's emulated f64 pow returns
+                # NaN for inf bases (CPU returns 0), which froze the step
+                # size permanently; clip the base and resolve the 0/inf
+                # cases with selects instead.
+                def err_factor(err, inv_q):
+                    base = jnp.clip(err, jnp.asarray(1e-300, dtype),
+                                    jnp.asarray(1e300, dtype))
+                    f = base ** (-inv_q)
+                    f = jnp.where(err <= 0.0, jnp.asarray(MAX_FACTOR, dtype), f)
+                    return jnp.where(jnp.isfinite(err), f,
+                                     jnp.asarray(0.0, dtype))
+
+                f_m = err_factor(err_m, 1.0 / od)
+                f_0 = err_factor(err_norm, 1.0 / (od + 1))
+                f_p = err_factor(err_p, 1.0 / (od + 2))
                 factors = jnp.stack([f_m, f_0, f_p])
                 best = jnp.argmax(factors)
                 new_order = jnp.clip(order + best.astype(jnp.int32) - 1, 1, MAX_ORDER)
