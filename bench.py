@@ -80,6 +80,14 @@ def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
 def main():
     import kinetica_tpu  # noqa: F401  (enables x64)
     import jax
+    # Persistent compilation cache: TPU compiles of the batched chunk-scan
+    # program take minutes; cached executables make reruns near-instant.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from kinetica_tpu.parallel.batching import EnsembleProblem
     from kinetica_tpu.solving.methods import VariableODESolve

@@ -100,11 +100,21 @@ class Molecule:
 # ---------------------------------------------------------------------------
 
 def perceive_connectivity(species: list[str], pos: np.ndarray) -> Molecule:
-    """Bond i-j when d_ij < r_cov_i + r_cov_j + BOND_TOL (min 0.4 Å)."""
+    """Bond i-j when d_ij < r_cov_i + r_cov_j + BOND_TOL (min 0.4 Å).
+
+    Uses the native C++ kernel (csrc/chemlite.cpp) when available; both
+    paths implement the identical rule.
+    """
     pos = np.asarray(pos, dtype=np.float64)
     n = len(species)
     mol = Molecule(list(species), positions=pos)
     radii = np.array([covalent_radius(s) for s in species])
+    from .native import perceive_bonds_native
+    pairs = perceive_bonds_native(pos, radii, BOND_TOL)
+    if pairs is not None:
+        for i, j in pairs:
+            mol.add_bond(int(i), int(j), 1)
+        return mol
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     cut = radii[:, None] + radii[None, :] + BOND_TOL
     for i in range(n):
@@ -178,20 +188,43 @@ def split_fragments(mol: Molecule) -> list[tuple[Molecule, list[int]]]:
 # Canonical ranking (Morgan refinement) and SMILES output
 # ---------------------------------------------------------------------------
 
+def _initial_invariants(mol: Molecule) -> np.ndarray:
+    """Integer-encoded initial atom invariants, shared by the Python and
+    native Morgan implementations (identical ranks guaranteed)."""
+    from .elements import atomic_number
+    out = np.empty(mol.n_atoms, dtype=np.int64)
+    for i in range(mol.n_atoms):
+        code = atomic_number(mol.species[i])
+        code = code * 64 + len(mol.neighbors(i))
+        code = code * 64 + mol.total_bond_order(i)
+        code = code * 64 + (mol.charges[i] + 32)
+        code = code * 64 + mol.radical_electrons(i)
+        out[i] = code
+    return out
+
+
 def canonical_ranks(mol: Molecule) -> list[int]:
-    """Deterministic canonical atom ranks via iterative refinement."""
+    """Deterministic canonical atom ranks via iterative Morgan refinement.
+
+    Dispatches to the native C++ kernel when available; the fallback below
+    is the identical algorithm.
+    """
     n = mol.n_atoms
-    inv = []
-    for i in range(n):
-        inv.append((
-            atomic_mass(mol.species[i]),
-            mol.species[i],
-            len(mol.neighbors(i)),
-            mol.total_bond_order(i),
-            mol.charges[i],
-            mol.radical_electrons(i),
-        ))
-    ranks = _ranks_from_keys(inv)
+    inv_arr = _initial_invariants(mol)
+
+    from .native import morgan_ranks_native
+    if mol.bonds:
+        items = sorted(mol.bonds.items())
+        bond_a = np.array([e[0][0] for e in items], dtype=np.int32)
+        bond_b = np.array([e[0][1] for e in items], dtype=np.int32)
+        bond_o = np.array([e[1] for e in items], dtype=np.int32)
+    else:
+        bond_a = bond_b = bond_o = np.empty(0, dtype=np.int32)
+    native = morgan_ranks_native(inv_arr, bond_a, bond_b, bond_o)
+    if native is not None:
+        return [int(r) for r in native]
+
+    ranks = _ranks_from_keys([int(v) for v in inv_arr])
     for _ in range(2 * n + 2):
         keys = []
         for i in range(n):
@@ -203,8 +236,6 @@ def canonical_ranks(mol: Molecule) -> list[int]:
         ranks = new_ranks
     # tie-break residual classes deterministically (members are automorphic
     # for molecular graphs at this scale)
-    seen: dict[int, int] = {}
-    final = []
     order = sorted(range(n), key=lambda i: (ranks[i], i))
     pos = {atom: p for p, atom in enumerate(order)}
     return [pos[i] for i in range(n)]

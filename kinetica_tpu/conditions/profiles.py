@@ -350,3 +350,42 @@ def isgradientprofile(p: AbstractProfile) -> bool:
 
 def isdirectprofile(p: AbstractProfile) -> bool:
     return p.is_direct
+
+
+class SawtoothDirectProfile(DirectProfile):
+    """Periodic sawtooth ramp oscillating about ``X_mid``.
+
+    No reference equivalent (BASELINE config 2 exercises sawtooth T(t)
+    ramps); follows the direct-profile authoring contract
+    (docs/src/development/condition-profiles.md:26-62). The condition rises
+    from ``X_mid - amplitude`` to ``X_mid + amplitude`` over ``period`` and
+    resets, for ``n_periods`` cycles.
+    """
+
+    def __init__(self, amplitude: float, period: float, X_mid: float,
+                 n_periods: int = 1, X_start: float | None = None):
+        super().__init__()
+        self.amplitude = float(amplitude)
+        self.period = float(period)
+        self.X_mid = float(X_mid)
+        self.n_periods = int(n_periods)
+        self.X_start = self.X_mid - self.amplitude if X_start is None else float(X_start)
+        self.t_end = self.period * self.n_periods
+        # discontinuities at every period boundary
+        self.tstops = np.arange(1, self.n_periods + 1) * self.period
+
+    def f(self, t):
+        t = jnp.asarray(t, dtype=jnp.result_type(float))
+        phase = jnp.mod(jnp.clip(t, 0.0, self.t_end), self.period) / self.period
+        # the final instant belongs to the top of the last ramp
+        at_end = t >= self.t_end
+        val = (self.X_mid - self.amplitude) + 2 * self.amplitude * phase
+        return jnp.where(at_end, self.X_mid + self.amplitude,
+                         jnp.where(t <= 0.0, self.X_start, val))
+
+    def create_discrete_tstops(self, ts_update: float) -> None:
+        if ts_update > self.t_end:
+            raise ValueError("Error defining tstops, `ts_update` is too large.")
+        self.tstops = np.unique(np.concatenate([
+            create_savepoints(0.0, self.t_end, ts_update),
+            np.arange(1, self.n_periods + 1) * self.period]))

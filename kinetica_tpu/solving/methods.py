@@ -298,6 +298,13 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         stops_rows = jnp.full((n_chunks, 1), jnp.inf)
     chunk_ids = jnp.arange(n_chunks, dtype=u0.dtype)
 
+    n_chunks_total = int(chunk_ids.shape[0])
+
+    def _progress_cb(nc):
+        done = int(nc) + 1
+        if done % max(1, n_chunks_total // 20) == 0 or done == n_chunks_total:
+            logger.info("   - Chunkwise ODE: %d/%d chunks", done, n_chunks_total)
+
     @jax.jit
     def scan_solve(u0, abstol, reltol, payload):
         def body(carry, xs):
@@ -307,6 +314,10 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
                 pars, rhs, jac, u, 0.0, chunkstep, saveat_j, reltol, abstol,
                 stops_row, (nc * chunkstep, payload))
             worst = jnp.minimum(worst, status)
+            if pars.progress:
+                # structured progress (reference uses ProgressLogging bars,
+                # methods.jl:248-254); host callback per chunk
+                jax.debug.callback(_progress_cb, nc, ordered=False)
             return (y_final, worst), ys
 
         (u_f, worst), ys = jax.lax.scan(
