@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("KINETICA_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("KINETICA_BENCH_BATCH", "64"))
 N_CARBONS = int(os.environ.get("KINETICA_BENCH_NC", "16"))
 RTOL, ATOL = 1e-8, 1e-10
 
@@ -49,24 +49,57 @@ def build():
 
 
 def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
-    """scipy BDF on the identical system (continuous k(T(t)), analytic J)."""
-    import jax.numpy as jnp
+    """scipy BDF on the identical system — pure numpy RHS/Jacobian (no
+    device dispatch), the honest CPU-production baseline."""
     from scipy.integrate import solve_ivp
 
-    from kinetica_tpu.models.mass_action import build_mass_action
+    from kinetica_tpu import constants
     from kinetica_tpu.solving.solve_utils import make_u0
 
-    net = build_mass_action(rd, sd.n)
+    # numpy mass-action formulation (mirrors models/mass_action.py)
+    ns, nr = sd.n, rd.nr
+    arity = max(2, max(sum(s) for s in rd.stoic_reacs))
+    slots = np.full((nr, arity), ns, dtype=np.int64)
+    N = np.zeros((nr, ns))
+    for j in range(nr):
+        s = 0
+        for sid, st in zip(rd.id_reacs[j], rd.stoic_reacs[j]):
+            N[j, sid] -= st
+            for _ in range(st):
+                slots[j, s] = sid
+                s += 1
+        for sid, st in zip(rd.id_prods[j], rd.stoic_prods[j]):
+            N[j, sid] += st
+    E = np.zeros((arity, nr, ns))
+    for s in range(arity):
+        valid = slots[:, s] < ns
+        E[s, np.flatnonzero(valid), slots[valid, s]] = 1.0
+
     prof = conditions.get_profile("T")
+    Ea_np, A_np = np.asarray(calc.Ea), np.asarray(calc.A)
+    k_max = calc.k_max
 
     def k_of_t(t):
-        return np.asarray(calc(T=float(np.asarray(prof.value(t)))))
+        T = float(np.asarray(prof.value(t)))
+        k = A_np * np.exp(-Ea_np / (constants.R * T)) * constants.N_A
+        if k_max is not None:
+            k = 1.0 / (1.0 / k_max + 1.0 / k)
+        return k
 
     def rhs(t, y):
-        return np.asarray(net.rhs(jnp.asarray(y), jnp.asarray(k_of_t(t))))
+        u = np.append(y, 1.0)
+        r = k_of_t(t) * u[slots].prod(axis=1)
+        return r @ N
 
     def jac(t, y):
-        return np.asarray(net.jac(jnp.asarray(y), jnp.asarray(k_of_t(t))))
+        u = np.append(y, 1.0)
+        k = k_of_t(t)
+        su = u[slots]
+        G = np.zeros((nr, ns))
+        for s in range(arity):
+            others = np.prod(np.delete(su, s, axis=1), axis=1)
+            G += (k * others)[:, None] * E[s]
+        return N.T @ G
 
     u0 = make_u0(sd, pars)
     t0 = time.perf_counter()

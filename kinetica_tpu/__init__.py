@@ -14,3 +14,34 @@ if not _os.environ.get("KINETICA_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+# Public API shortcuts (lazy to keep import light)
+def __getattr__(name):
+    _API = {
+        "SpeciesData": "kinetica_tpu.core.network",
+        "RxData": "kinetica_tpu.core.network",
+        "init_network": "kinetica_tpu.core.network",
+        "format_rxn": "kinetica_tpu.core.network",
+        "print_rxn": "kinetica_tpu.core.network",
+        "ConditionSet": "kinetica_tpu.conditions.condition_set",
+        "ODESimulationParams": "kinetica_tpu.solving.params",
+        "RxFilter": "kinetica_tpu.solving.filters",
+        "StaticODESolve": "kinetica_tpu.solving.methods",
+        "VariableODESolve": "kinetica_tpu.solving.methods",
+        "solve_network": "kinetica_tpu.solving.methods",
+        "CDE": "kinetica_tpu.exploration",
+        "DirectExplore": "kinetica_tpu.exploration",
+        "IterativeExplore": "kinetica_tpu.exploration",
+        "explore_network": "kinetica_tpu.exploration",
+        "ODESolveOutput": "kinetica_tpu.analysis.io",
+        "save_output": "kinetica_tpu.analysis.io",
+        "load_output": "kinetica_tpu.analysis.io",
+        "EnsembleProblem": "kinetica_tpu.parallel.batching",
+        "solve_network_ensemble": "kinetica_tpu.parallel.batching",
+        "tconvert": "kinetica_tpu.utils",
+        "create_savepoints": "kinetica_tpu.utils",
+    }
+    if name in _API:
+        import importlib
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module 'kinetica_tpu' has no attribute {name!r}")
