@@ -33,6 +33,10 @@ def __getattr__(name):
         "DirectExplore": "kinetica_tpu.exploration",
         "IterativeExplore": "kinetica_tpu.exploration",
         "explore_network": "kinetica_tpu.exploration",
+        "KPMRun": "kinetica_tpu.calculators.kpm",
+        "KPMBasicCalculator": "kinetica_tpu.calculators.kpm",
+        "KPMCollisionCalculator": "kinetica_tpu.calculators.kpm",
+        "KPMCollisionEntropyCalculator": "kinetica_tpu.calculators.kpm",
         "ODESolveOutput": "kinetica_tpu.analysis.io",
         "save_output": "kinetica_tpu.analysis.io",
         "load_output": "kinetica_tpu.analysis.io",

@@ -17,6 +17,7 @@ h = 6.626070e-34         # Planck constant (J s)
 kcal_to_J = 4183.9954
 eV_to_kcal_per_mol = 23.061
 amu_to_kg = 1.6605390666e-27
+eV_to_J_per_mol = eV_to_kcal_per_mol * kcal_to_J  # ~96485 J/mol per eV
 Ang_to_dm = 1e-9
 
 # ASE-compatible constants (values match ase.units so thermochemistry
