@@ -383,6 +383,12 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
     logger.info(" - Removing low-rate reactions")
     apply_low_k_cutoff(rd_active, calc, pars, conditions)
 
+    if rd_active.nr == 0:
+        raise ValueError(
+            "CRN has no reactions after filtering/setup/low-k cutoff; "
+            "nothing to solve. Check the filter masks, low_k_cutoff and "
+            "(for explored networks) the max_molecularity ingestion limit.")
+
     dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
     net = build_mass_action(rd_active, sd_active.n, dtype=dtype)
     u0 = jnp.asarray(make_u0(sd_active, pars), dtype=dtype)
