@@ -65,10 +65,20 @@ class EnsembleProblem:
     batch with matching shapes (no recompilation).
     """
 
-    def __init__(self, method: VariableODESolve, sd: SpeciesData, rd: RxData):
+    def __init__(self, method: VariableODESolve, sd: SpeciesData, rd: RxData,
+                 chunk_mode: str = "auto"):
+        """``chunk_mode``: "scan" runs all chunks in one device program
+        (lowest overhead; the right choice for CPU and for multi-chip
+        dry-runs), "host" dispatches one device call per chunk (bounds the
+        runtime of any single device execution — long lockstep sweeps on a
+        remote-attached TPU can otherwise exceed the worker's execution
+        deadline), "auto" picks host on accelerators and scan on CPU."""
         self.method = method
         pars = method.pars
         calc = method.calculator
+        if chunk_mode == "auto":
+            chunk_mode = "scan" if jax.default_backend() == "cpu" else "host"
+        self.chunk_mode = chunk_mode
 
         self.sd, self.rd = sd.copy(), rd.copy()
         mask = method.filter.get_filter_mask(self.sd, self.rd)
@@ -114,6 +124,19 @@ class EnsembleProblem:
         self._solve_fn = jax.jit(
             jax.vmap(member, in_axes=(0, 0, None, None, None, None)))
 
+        def member_chunk(u0, ktab, tstops, stops_row, nc, abstol, reltol):
+            res = bdf.bdf_solve(
+                rhs, jac, u0, 0.0, chunkstep, saveat_j,
+                rtol=reltol, atol=abstol, stops=stops_row,
+                max_steps=int(pars_ref.maxiters),
+                nonnegative=pars_ref.ban_negatives,
+                lu_precision=pars_ref.lu_precision,
+                args=(nc * chunkstep, (tstops, ktab)))
+            return res.y_final, res.status, res.ys
+
+        self._chunk_fn = jax.jit(
+            jax.vmap(member_chunk, in_axes=(0, 0, None, None, None, None, None)))
+
     def solve(self, conditions_list: list[ConditionSet] | None = None,
               u0s: np.ndarray | None = None, sharding=None,
               k_tables: np.ndarray | None = None,
@@ -149,12 +172,27 @@ class EnsembleProblem:
             u0s_j = jax.device_put(u0s_j, sharding)
             ktabs_j = jax.device_put(ktabs_j, sharding)
 
-        logger.info(" - Solving %d-member ensemble (%d chunks each)...",
-                    B, self.n_chunks)
-        statuses, ys = self._solve_fn(
-            u0s_j, ktabs_j, jnp.asarray(tstops, dtype=self.dtype), stops_rows,
-            jnp.asarray(pars.abstol), jnp.asarray(pars.reltol))
-        statuses = np.asarray(statuses)
+        logger.info(" - Solving %d-member ensemble (%d chunks each, %s mode)...",
+                    B, self.n_chunks, self.chunk_mode)
+        tstops_j = jnp.asarray(tstops, dtype=self.dtype)
+        abstol_j = jnp.asarray(pars.abstol)
+        reltol_j = jnp.asarray(pars.reltol)
+        if self.chunk_mode == "host":
+            u = u0s_j
+            worst = None
+            ys_chunks = []
+            for nc in range(self.n_chunks):
+                u, status, ys_c = self._chunk_fn(
+                    u, ktabs_j, tstops_j, stops_rows[nc],
+                    jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
+                ys_chunks.append(ys_c)
+                worst = status if worst is None else jnp.minimum(worst, status)
+            statuses = np.asarray(worst)
+            ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
+        else:
+            statuses, ys = self._solve_fn(
+                u0s_j, ktabs_j, tstops_j, stops_rows, abstol_j, reltol_j)
+            statuses = np.asarray(statuses)
         m = len(self.saveat_local)
         ys = np.asarray(ys).reshape(B, self.n_chunks * m, -1)
         ys = np.concatenate([np.asarray(u0s)[:, None, :], ys], axis=1)

@@ -41,6 +41,7 @@ from ..ops import bdf, rk45
 from ..ops.interp import left_constant_lookup
 from ..utils.interpolation import TimeSeries
 from ..utils.logging import logger
+from ..utils.profiling import timed
 from ..utils.time_units import create_savepoints
 from .filters import RxFilter
 from .params import ODESimulationParams
@@ -306,7 +307,7 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
             logger.info("   - Chunkwise ODE: %d/%d chunks", done, n_chunks_total)
 
     @jax.jit
-    def scan_solve(u0, abstol, reltol, payload):
+    def scan_solve(u0, worst0, chunk_ids, stops_rows, abstol, reltol, payload):
         def body(carry, xs):
             u, worst = carry
             nc, stops_row = xs
@@ -321,12 +322,32 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
             return (y_final, worst), ys
 
         (u_f, worst), ys = jax.lax.scan(
-            body, (u0, jnp.asarray(bdf.DONE, jnp.int32)), (chunk_ids, stops_rows))
-        return worst, ys
+            body, (u0, worst0), (chunk_ids, stops_rows))
+        return u_f, worst, ys
+
+    # Device-dispatch granularity: on CPU the whole chunk loop is one scan;
+    # on accelerators it is split into groups of chunks so no single device
+    # execution runs unboundedly long (remote-attached TPU workers enforce
+    # per-execution deadlines). Grouping is bit-neutral: the carry is
+    # exactly (u, worst-status), threaded on host between dispatches.
+    cpd = pars.chunks_per_dispatch
+    if cpd is None:
+        cpd = n_chunks if jax.default_backend() == "cpu" else 32
 
     def solve_fn(abstol, reltol):
-        worst, ys = scan_solve(u0, jnp.asarray(abstol), jnp.asarray(reltol),
-                               args_payload)
+        at = jnp.asarray(abstol)
+        rt = jnp.asarray(reltol)
+        u = u0
+        worst = jnp.asarray(bdf.DONE, jnp.int32)
+        ys_parts = []
+        for lo in range(0, n_chunks, cpd):
+            hi = min(lo + cpd, n_chunks)
+            with timed("solve.chunk_dispatch"):
+                u, worst, ys_g = scan_solve(u, worst, chunk_ids[lo:hi],
+                                            stops_rows[lo:hi], at, rt,
+                                            args_payload)
+            ys_parts.append(ys_g)
+        ys = ys_parts[0] if len(ys_parts) == 1 else jnp.concatenate(ys_parts)
         return worst, ys
 
     status, ys, attempts = _adaptive_device_solve(solve_fn, pars)
@@ -378,7 +399,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
     logger.info("   - Removed %d filtered reactions from network", int(mask.sum()))
 
     logger.info(" - Performing calculator-specific network setup.")
-    calc.setup_network(sd_active, rd_active, )
+    with timed("solve.calculator_setup"):
+        calc.setup_network(sd_active, rd_active)
 
     logger.info(" - Removing low-rate reactions")
     apply_low_k_cutoff(rd_active, calc, pars, conditions)
@@ -405,7 +427,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
         global_stops = None
     elif update_mode == "discrete":
         logger.info(" - Pre-calculating rate constants at discrete time intervals.")
-        tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
+        with timed("solve.rate_precalc"):
+            tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
         rhs, jac = _make_rhs_jac(net, "discrete")
         payload = (jnp.asarray(tstops, dtype=dtype), jnp.asarray(k_table, dtype=dtype))
         global_stops = tstops

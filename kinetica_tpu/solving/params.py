@@ -35,6 +35,7 @@ class ODESimulationParams:
     # TPU-specific extensions (no reference equivalent):
     dtype: str = "float64"                      # solve precision policy
     lu_precision: str = "mixed"                 # "mixed" f32-LU+refinement | "full"
+    chunks_per_dispatch: int | None = None      # None = auto (all on CPU, 32 on TPU)
 
     def __post_init__(self):
         if self.tspan[0] >= self.tspan[1]:
@@ -64,3 +65,6 @@ class ODESimulationParams:
 
         if self.solver not in ("bdf", "rk45"):
             raise ValueError(f"Unknown solver '{self.solver}' (use 'bdf' or 'rk45')")
+
+        if self.chunks_per_dispatch is not None and self.chunks_per_dispatch < 1:
+            raise ValueError("chunks_per_dispatch must be a positive integer")

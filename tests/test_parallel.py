@@ -98,3 +98,23 @@ class TestSharding:
         assert ens_sharded.success
         np.testing.assert_allclose(ens_sharded.u, ens_plain.u,
                                    rtol=1e-10, atol=1e-14)
+
+
+class TestChunkModes:
+    def test_host_mode_matches_scan_mode(self):
+        """Per-chunk host dispatch (the accelerator default: bounds single
+        device-execution time) must be bit-equal to the all-chunks scan."""
+        from kinetica_tpu.parallel.batching import EnsembleProblem
+        sd, rd, mkcalc = pyrolysis()
+        tf = 6.0
+        conditions_list = [ramp_conditions(r, tf, 0.5) for r in (40.0, 80.0)]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none")
+        method = VariableODESolve(pars, conditions_list[0], mkcalc())
+        scan = EnsembleProblem(method, sd, rd, chunk_mode="scan").solve(
+            conditions_list=conditions_list)
+        host = EnsembleProblem(method, sd, rd, chunk_mode="host").solve(
+            conditions_list=conditions_list)
+        assert scan.success and host.success
+        np.testing.assert_array_equal(np.asarray(scan.u), np.asarray(host.u))

@@ -217,3 +217,30 @@ class TestSaveLoad:
         np.testing.assert_allclose(back.sol.vcs["T"], res.sol.vcs["T"])
         # interpolation works after load
         assert back.sol(tf / 2).shape == (sd.n,)
+
+
+class TestChunkDispatchGrouping:
+    def test_grouped_dispatch_equals_single_scan(self):
+        """chunks_per_dispatch grouping (accelerator execution-deadline
+        guard) is bit-neutral: carry (u, worst) threads across groups."""
+        from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+        from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+        sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+        conditions = ConditionSet(
+            {"T": LinearGradientProfile(rate=50.0, X_start=600.0, X_end=950.0)},
+            ts_update=0.5)
+        tf = conditions.get_t_final()
+        results = []
+        for cpd in (None, 3, 1):
+            calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+            pars = ODESimulationParams(tspan=(0.0, tf), u0={"C6": 1.0},
+                                       solve_chunks=True,
+                                       solve_chunkstep=tf / 14,
+                                       low_k_cutoff="none",
+                                       chunks_per_dispatch=cpd)
+            res = solve_network(VariableODESolve(pars, conditions, calc),
+                                sd, rd)
+            assert res.sol.success
+            results.append(np.asarray(res.sol.u))
+        np.testing.assert_array_equal(results[0], results[1])
+        np.testing.assert_array_equal(results[0], results[2])

@@ -57,3 +57,55 @@ class TestTimeSeries:
         ts = TimeSeries([0.0, 1.0, 2.0], [3.0, -1.0, 2.0])
         assert ts.min() == -1.0
         assert ts.max() == 3.0
+
+
+class TestProfiling:
+    def test_timed_sections_and_report(self):
+        from kinetica_tpu.utils.profiling import Timings, timed
+        Timings.reset()
+        Timings.enable(True)
+        try:
+            with timed("unit.section"):
+                pass
+            with timed("unit.section"):
+                pass
+            rep = Timings.report(log=False)
+            assert rep["unit.section"]["count"] == 2
+            assert rep["unit.section"]["total_s"] >= 0.0
+        finally:
+            Timings.enable(False)
+            Timings.reset()
+
+    def test_disabled_is_noop(self):
+        from kinetica_tpu.utils.profiling import Timings, timed
+        Timings.reset()
+        assert not Timings.enabled()
+        with timed("unit.never"):
+            pass
+        assert Timings.report(log=False) == {}
+
+    def test_solve_records_chunk_dispatch_timings(self):
+        import numpy as np
+        from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+        from kinetica_tpu.conditions.condition_set import ConditionSet
+        from kinetica_tpu.solving.methods import StaticODESolve, solve_network
+        from kinetica_tpu.solving.params import ODESimulationParams
+        from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+        from kinetica_tpu.utils.profiling import Timings
+        sd, rd, Ea, A = synthetic_pyrolysis_network(4)
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C4": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.25,
+                                   low_k_cutoff="none")
+        Timings.reset()
+        Timings.enable(True)
+        try:
+            res = solve_network(StaticODESolve(
+                pars, ConditionSet({"T": 900.0}), calc), sd, rd)
+            assert res.sol.success
+            rep = Timings.report(log=False)
+            assert rep["solve.chunk_dispatch"]["count"] >= 1
+            assert rep["solve.calculator_setup"]["count"] == 1
+        finally:
+            Timings.enable(False)
+            Timings.reset()
