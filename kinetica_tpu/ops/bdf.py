@@ -217,7 +217,14 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         h_init = select_initial_step(lambda t, y: rhs(t, y, t0), t0, y0, f0,
                                      tf, rtol, atol)
     else:
-        h_init = jnp.asarray(first_step, dtype)
+        # Traced first_step supports carrying the final h across chunkwise
+        # segments (one compiled program); non-finite/<=0 values fall back
+        # to the automatic heuristic so the first chunk can pass NaN.
+        fs = jnp.asarray(first_step, dtype)
+        h_auto = select_initial_step(lambda t, y: rhs(t, y, t0), t0, y0, f0,
+                                     tf, rtol, atol)
+        ok = jnp.isfinite(fs) & (fs > 0.0)
+        h_init = jnp.where(ok, jnp.minimum(fs, jnp.abs(tf - t0)), h_auto)
 
     D0 = jnp.zeros((MAX_ORDER + 3, ns), dtype)
     D0 = D0.at[0].set(y0).at[1].set(f0 * h_init)
@@ -264,7 +271,9 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             res = c * f - psi - d
             dy = newton_solve(fact, res, refine=refine)
             dy_norm = _rms_norm(dy / scale)
-            rate = jnp.where(it > 0, dy_norm / jnp.maximum(dy_norm_old, 1e-300),
+            rate = jnp.where(it > 0,
+                             dy_norm / jnp.maximum(dy_norm_old,
+                                                   jnp.finfo(dtype).tiny),
                              jnp.asarray(jnp.inf, dtype))
             bad = (it > 0) & (
                 (rate >= 1.0)
@@ -353,21 +362,18 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         converged, n_it, y_new, d = newton_iterate(t_new, t, y_pred, c, psi,
                                                     scale_pred, fact)
 
-        def with_fresh_jac():
-            J2 = jac(t_new, y_pred, t)
-            lu2, piv2 = refactor(J2)
-            fact2 = NewtonFactors(lu=lu2, piv=piv2, J=J2, c=c)
-            conv2, n_it2, y2, d2 = newton_iterate(t_new, t, y_pred, c, psi,
-                                                  scale_pred, fact2)
-            return conv2, n_it2, y2, d2, J2, lu2, piv2
-
-        retry = (~converged) & (~s.current_jac)
-        converged, n_it, y_new, d, J, lu, piv = lax.cond(
-            retry, with_fresh_jac,
-            lambda: (converged, n_it, y_new, d, s.J, lu, piv))
-        current_jac = s.current_jac | retry
-        n_jev = s.n_jev + retry.astype(jnp.int32)
-        n_lu = n_lu + retry.astype(jnp.int32)
+        # Newton failed on a stale Jacobian: refresh J and redo the step on
+        # the *next* outer iteration instead of retrying in-line. Under
+        # vmap, lax.cond computes both branches for the whole batch, so an
+        # in-line retry would cost every step a second full Newton solve;
+        # as carried state it costs one extra outer iteration only when a
+        # lane actually fails (CVODE structures its retry the same way).
+        refresh = (~converged) & (~s.current_jac)
+        J = lax.cond(refresh, lambda: jac(t_new, y_pred, t), lambda: s.J)
+        current_jac = s.current_jac | refresh
+        n_jev = s.n_jev + refresh.astype(jnp.int32)
+        # Force an LU refactor with the fresh J next iteration.
+        c_lu_next = jnp.where(refresh, jnp.asarray(-jnp.inf, dtype), c)
 
         safety = 0.9 * (2 * NEWTON_MAXITER + 1) / (2 * NEWTON_MAXITER + n_it.astype(dtype))
 
@@ -388,6 +394,14 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                 n_equal_steps=jnp.asarray(0, jnp.int32),
                 J=J, lu=lu, piv=piv, c_lu=c, current_jac=current_jac,
                 n_rejected=s.n_rejected + 1, n_jev=n_jev, n_lu=n_lu)
+
+        def on_jac_refresh():
+            # keep t/h/D; redo the step next iteration with the fresh J
+            # (c_lu sentinel forces the refactor)
+            return s._replace(
+                h=h, D=D, n_equal_steps=n_equal_steps,
+                J=J, lu=lu, piv=piv, c_lu=c_lu_next, current_jac=current_jac,
+                n_jev=n_jev, n_lu=n_lu)
 
         def on_error_reject():
             od = order.astype(dtype)
@@ -433,8 +447,11 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                 # size permanently; clip the base and resolve the 0/inf
                 # cases with selects instead.
                 def err_factor(err, inv_q):
-                    base = jnp.clip(err, jnp.asarray(1e-300, dtype),
-                                    jnp.asarray(1e300, dtype))
+                    # guard bounds must be representable in the solve dtype
+                    # (1e300 overflows f32 to inf and defeats the guard)
+                    fi = jnp.finfo(dtype)
+                    base = jnp.clip(err, jnp.asarray(fi.tiny * 1e3, dtype),
+                                    jnp.asarray(fi.max / 1e3, dtype))
                     f = base ** (-inv_q)
                     f = jnp.where(err <= 0.0, jnp.asarray(MAX_FACTOR, dtype), f)
                     return jnp.where(jnp.isfinite(err), f,
@@ -471,10 +488,13 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                 save_ptr=save_ptr2, ys=ys2, stop_ptr=stop_ptr2,
                 n_jev=n_jev, n_lu=n_lu)
 
-        s_new = lax.cond(accept, on_accept,
-                         lambda: lax.cond(converged, on_error_reject, on_newton_fail))
+        s_new = lax.cond(
+            accept, on_accept,
+            lambda: lax.cond(
+                converged, on_error_reject,
+                lambda: lax.cond(refresh, on_jac_refresh, on_newton_fail)))
         s_new = s_new._replace(
-            n_fev=s.n_fev + n_it + retry.astype(jnp.int32) * NEWTON_MAXITER,
+            n_fev=s.n_fev + n_it,
             n_steps=s.n_steps + 1)
         too_many = s_new.n_steps >= max_steps
         h_under = s_new.h < h_min

@@ -53,6 +53,7 @@ class RK45Results(NamedTuple):
     n_steps: jnp.ndarray
     n_accepted: jnp.ndarray
     n_rejected: jnp.ndarray
+    h: jnp.ndarray
 
 
 def _rms(x):
@@ -202,4 +203,5 @@ def rk45_solve(rhs: Callable, y0: jnp.ndarray, t0, tf, saveat: jnp.ndarray,
         s0)
     return RK45Results(ys=final.ys, status=final.status, t=final.t,
                        y_final=final.y, n_steps=final.n_steps,
-                       n_accepted=final.n_acc, n_rejected=final.n_rej)
+                       n_accepted=final.n_acc, n_rejected=final.n_rej,
+                       h=final.h)

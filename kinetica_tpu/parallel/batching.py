@@ -105,7 +105,7 @@ class EnsembleProblem:
 
         def member(u0, ktab, tstops, stops_rows, abstol, reltol):
             def body(carry, xs):
-                u, worst = carry
+                u, worst, h_prev = carry
                 nc, stops_row = xs
                 res = bdf.bdf_solve(
                     rhs, jac, u, 0.0, chunkstep, saveat_j,
@@ -113,29 +113,35 @@ class EnsembleProblem:
                     max_steps=int(pars_ref.maxiters),
                     nonnegative=pars_ref.ban_negatives,
                     lu_precision=pars_ref.lu_precision,
+                    first_step=h_prev,
                     args=(nc * chunkstep, (tstops, ktab)))
-                return (res.y_final, jnp.minimum(worst, res.status)), res.ys
+                return (res.y_final, jnp.minimum(worst, res.status),
+                        res.h), res.ys
 
-            (_, worst), ys = jax.lax.scan(
-                body, (u0, jnp.asarray(bdf.DONE, jnp.int32)),
+            (_, worst, _), ys = jax.lax.scan(
+                body, (u0, jnp.asarray(bdf.DONE, jnp.int32),
+                       jnp.asarray(jnp.nan, u0.dtype)),
                 (chunk_ids, stops_rows))
             return worst, ys
 
         self._solve_fn = jax.jit(
             jax.vmap(member, in_axes=(0, 0, None, None, None, None)))
 
-        def member_chunk(u0, ktab, tstops, stops_row, nc, abstol, reltol):
+        def member_chunk(u0, h_prev, ktab, tstops, stops_row, nc, abstol,
+                         reltol):
             res = bdf.bdf_solve(
                 rhs, jac, u0, 0.0, chunkstep, saveat_j,
                 rtol=reltol, atol=abstol, stops=stops_row,
                 max_steps=int(pars_ref.maxiters),
                 nonnegative=pars_ref.ban_negatives,
                 lu_precision=pars_ref.lu_precision,
+                first_step=h_prev,
                 args=(nc * chunkstep, (tstops, ktab)))
-            return res.y_final, res.status, res.ys
+            return res.y_final, res.h, res.status, res.ys
 
         self._chunk_fn = jax.jit(
-            jax.vmap(member_chunk, in_axes=(0, 0, None, None, None, None, None)))
+            jax.vmap(member_chunk,
+                     in_axes=(0, 0, 0, None, None, None, None, None)))
 
     def solve(self, conditions_list: list[ConditionSet] | None = None,
               u0s: np.ndarray | None = None, sharding=None,
@@ -179,11 +185,12 @@ class EnsembleProblem:
         reltol_j = jnp.asarray(pars.reltol)
         if self.chunk_mode == "host":
             u = u0s_j
+            h = jnp.full((B,), jnp.nan, self.dtype)
             worst = None
             ys_chunks = []
             for nc in range(self.n_chunks):
-                u, status, ys_c = self._chunk_fn(
-                    u, ktabs_j, tstops_j, stops_rows[nc],
+                u, h, status, ys_c = self._chunk_fn(
+                    u, h, ktabs_j, tstops_j, stops_rows[nc],
                     jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
                 ys_chunks.append(ys_c)
                 worst = status if worst is None else jnp.minimum(worst, status)

@@ -155,8 +155,14 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
 
 
 def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
-               rtol, atol, stops, args):
-    """Dispatch to the selected on-TPU integrator (pars.solver)."""
+               rtol, atol, stops, args, first_step=None):
+    """Dispatch to the selected on-TPU integrator (pars.solver).
+
+    ``first_step`` may be a traced scalar (NaN = auto): the chunkwise
+    loops carry the final accepted h into the next chunk, skipping the
+    order-1 restart ramp the reference pays at every ``reinit!``
+    (methods.jl:819). The returned dict includes ``h`` for that carry.
+    """
     if pars.solver == "rk45":
         res = rk45.rk45_solve(
             rhs, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
@@ -164,15 +170,15 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
             args=args)
         return res.status, res.ys, res.y_final, {
             "n_steps": res.n_steps, "n_accepted": res.n_accepted,
-            "n_rejected": res.n_rejected}
+            "n_rejected": res.n_rejected, "h": res.h}
     res = bdf.bdf_solve(
         rhs, jac, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
         max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
-        lu_precision=pars.lu_precision, args=args)
+        lu_precision=pars.lu_precision, first_step=first_step, args=args)
     return res.status, res.ys, res.y_final, {
         "n_steps": res.n_steps, "n_accepted": res.n_accepted,
         "n_rejected": res.n_rejected, "n_fev": res.n_fev,
-        "n_jev": res.n_jev, "n_lu": res.n_lu}
+        "n_jev": res.n_jev, "n_lu": res.n_lu, "h": res.h}
 
 
 def _make_continuous_k_fn(conditions: ConditionSet, calculator: KineticCalculator):
@@ -307,23 +313,26 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
             logger.info("   - Chunkwise ODE: %d/%d chunks", done, n_chunks_total)
 
     @jax.jit
-    def scan_solve(u0, worst0, chunk_ids, stops_rows, abstol, reltol, payload):
+    def scan_solve(u0, worst0, h0, chunk_ids, stops_rows, abstol, reltol,
+                   payload):
         def body(carry, xs):
-            u, worst = carry
+            u, worst, h_prev = carry
             nc, stops_row = xs
-            status, ys, y_final, _ = _integrate(
+            status, ys, y_final, stats = _integrate(
                 pars, rhs, jac, u, 0.0, chunkstep, saveat_j, reltol, abstol,
-                stops_row, (nc * chunkstep, payload))
+                stops_row, (nc * chunkstep, payload), first_step=h_prev)
             worst = jnp.minimum(worst, status)
             if pars.progress:
                 # structured progress (reference uses ProgressLogging bars,
                 # methods.jl:248-254); host callback per chunk
                 jax.debug.callback(_progress_cb, nc, ordered=False)
-            return (y_final, worst), ys
+            # carry the final accepted h into the next chunk (NaN = auto on
+            # chunk 0) to skip the order-1 restart ramp at every boundary
+            return (y_final, worst, stats["h"]), ys
 
-        (u_f, worst), ys = jax.lax.scan(
-            body, (u0, worst0), (chunk_ids, stops_rows))
-        return u_f, worst, ys
+        (u_f, worst, h_f), ys = jax.lax.scan(
+            body, (u0, worst0, h0), (chunk_ids, stops_rows))
+        return u_f, worst, h_f, ys
 
     # Device-dispatch granularity: on CPU the whole chunk loop is one scan;
     # on accelerators it is split into groups of chunks so no single device
@@ -339,13 +348,14 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         rt = jnp.asarray(reltol)
         u = u0
         worst = jnp.asarray(bdf.DONE, jnp.int32)
+        h = jnp.asarray(jnp.nan, u0.dtype)
         ys_parts = []
         for lo in range(0, n_chunks, cpd):
             hi = min(lo + cpd, n_chunks)
             with timed("solve.chunk_dispatch"):
-                u, worst, ys_g = scan_solve(u, worst, chunk_ids[lo:hi],
-                                            stops_rows[lo:hi], at, rt,
-                                            args_payload)
+                u, worst, h, ys_g = scan_solve(u, worst, h, chunk_ids[lo:hi],
+                                               stops_rows[lo:hi], at, rt,
+                                               args_payload)
             ys_parts.append(ys_g)
         ys = ys_parts[0] if len(ys_parts) == 1 else jnp.concatenate(ys_parts)
         return worst, ys
