@@ -111,6 +111,7 @@ def _compute_R(factor, dtype):
 def _change_D(D, order, factor):
     """Rescale D[:order+1] for a step-size change by ``factor``."""
     dtype = D.dtype
+    factor = jnp.asarray(factor, dtype)
     RU = _compute_R(factor, dtype) @ _compute_R(jnp.asarray(1.0, dtype), dtype)
     idx = jnp.arange(MAX_ORDER + 1)
     active = (idx[:, None] <= order) & (idx[None, :] <= order)
@@ -129,16 +130,21 @@ def _bdf_constants(dtype):
 
 
 def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
-    """Hairer-style automatic initial step size (order-1 heuristic)."""
+    """Hairer-style automatic initial step size (order-1 heuristic).
+
+    State norms run in the solve dtype; the returned h is in the time
+    dtype (f64 under x64) so tiny initial steps stay representable.
+    """
+    tdtype = t0.dtype if hasattr(t0, "dtype") else jnp.result_type(float)
     scale = atol + jnp.abs(y0) * rtol
-    d0 = _rms_norm(y0 / scale)
-    d1 = _rms_norm(f0 / scale)
+    d0 = _rms_norm(y0 / scale).astype(tdtype)
+    d1 = _rms_norm(f0 / scale).astype(tdtype)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     h0 = jnp.minimum(h0, jnp.abs(tf - t0))
-    h0 = jnp.maximum(h0, jnp.finfo(y0.dtype).tiny * 1e3)
-    y1 = y0 + h0 * f0
+    h0 = jnp.maximum(h0, jnp.asarray(jnp.finfo(y0.dtype).tiny * 1e3, tdtype))
+    y1 = y0 + h0.astype(y0.dtype) * f0
     f1 = rhs(t0 + h0, y1)
-    d2 = _rms_norm((f1 - f0) / scale) / h0
+    d2 = _rms_norm((f1 - f0) / scale).astype(tdtype) / h0
     h1 = jnp.where(jnp.maximum(d1, d2) <= 1e-15,
                    jnp.maximum(1e-6, h0 * 1e-3),
                    (0.01 / jnp.maximum(d1, d2)) ** 0.5)
@@ -194,23 +200,31 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     rhs = _adapt(rhs)
     jac = _adapt(jac)
     dtype = y0.dtype
+    # Precision policy: STATE (y, D, J, LU, norms) in the solve dtype; TIME
+    # (t, h, saveat, stops) always in f64 when available. Time variables
+    # are scalars — f64 emulation costs nothing — while f32 time would cap
+    # resolvable step ratios at h/t ~ 1.2e-7, far too coarse for stiff
+    # transients late in a chunk. This is the deliberate TPU policy: f32
+    # vectors/matrices on the fast units, f64 clocks on the side.
+    tdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
     ns = y0.shape[0]
-    t0 = jnp.asarray(t0, dtype)
-    tf = jnp.asarray(tf, dtype)
+    t0 = jnp.asarray(t0, tdtype)
+    tf = jnp.asarray(tf, tdtype)
     rtol = jnp.asarray(rtol, dtype)
     atol = jnp.asarray(atol, dtype)
-    saveat = jnp.asarray(saveat, dtype)
+    saveat = jnp.asarray(saveat, tdtype)
     n_save = saveat.shape[0]
     if stops is None:
-        stops = jnp.full((1,), jnp.inf, dtype=dtype)
+        stops = jnp.full((1,), jnp.inf, dtype=tdtype)
     else:
-        stops = jnp.asarray(stops, dtype)
+        stops = jnp.asarray(stops, tdtype)
     n_stops = stops.shape[0]
 
     _, gamma, alpha, error_const = _bdf_constants(dtype)
+    alpha_t = alpha.astype(tdtype)
     newton_tol = jnp.maximum(10 * jnp.finfo(dtype).eps / rtol,
                              jnp.minimum(0.03, rtol ** 0.5))
-    eps = jnp.finfo(dtype).eps
+    eps = jnp.finfo(tdtype).eps
 
     f0 = rhs(t0, y0, t0)
     if first_step is None:
@@ -220,14 +234,15 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # Traced first_step supports carrying the final h across chunkwise
         # segments (one compiled program); non-finite/<=0 values fall back
         # to the automatic heuristic so the first chunk can pass NaN.
-        fs = jnp.asarray(first_step, dtype)
+        fs = jnp.asarray(first_step, tdtype)
         h_auto = select_initial_step(lambda t, y: rhs(t, y, t0), t0, y0, f0,
                                      tf, rtol, atol)
         ok = jnp.isfinite(fs) & (fs > 0.0)
         h_init = jnp.where(ok, jnp.minimum(fs, jnp.abs(tf - t0)), h_auto)
+    h_init = jnp.asarray(h_init, tdtype)
 
     D0 = jnp.zeros((MAX_ORDER + 3, ns), dtype)
-    D0 = D0.at[0].set(y0).at[1].set(f0 * h_init)
+    D0 = D0.at[0].set(y0).at[1].set(f0 * h_init.astype(dtype))
 
     # "full" keeps the LU in the solve dtype; TPU XLA implements
     # LuDecomposition only in F32, so full-precision LU is CPU-only and is
@@ -237,8 +252,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     lu_dtype = jnp.float32 if lu_precision == "mixed" else dtype
 
     J0 = jac(t0, y0, t0)
-    c0 = h_init / alpha[1]
-    fact0 = newton_factor(J0, c0, lu_dtype)
+    c0 = h_init / alpha_t[1]
+    fact0 = newton_factor(J0, c0.astype(dtype), lu_dtype)
     lu0, piv0 = fact0.lu, fact0.piv
 
     tspan_scale = jnp.maximum(jnp.abs(tf), 1.0)
@@ -292,14 +307,16 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
     def fill_saveat(t_new, h, order, D, save_ptr, ys):
         """Record BDF dense output at saveat points in (t_prev, t_new]."""
-        t_shift = t_new - h * jnp.arange(MAX_ORDER, dtype=dtype)
-        denom = h * (1.0 + jnp.arange(MAX_ORDER, dtype=dtype))
+        t_shift = t_new - h * jnp.arange(MAX_ORDER, dtype=tdtype)
+        denom = h * (1.0 + jnp.arange(MAX_ORDER, dtype=tdtype))
 
         def dense_eval(tq):
+            # interpolation abscissae in time dtype; polynomial contraction
+            # against D in the state dtype
             x = (tq - t_shift) / denom
             p = jnp.cumprod(x)
             p = jnp.where(jnp.arange(MAX_ORDER) < order, p, 0.0)
-            return D[0] + p @ D[1: MAX_ORDER + 1]
+            return D[0] + p.astype(dtype) @ D[1: MAX_ORDER + 1]
 
         def cond(carry):
             ptr, _ = carry
@@ -324,10 +341,10 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # floor), so fast transients near t=0 can take arbitrarily small
         # steps — chunkwise solves keep |t| local precisely to exploit this
         # (reference implementation-details.md:5-28).
-        h_min = jnp.abs(t) * eps * 10 + jnp.finfo(dtype).tiny * 1e4
+        h_min = jnp.abs(t) * eps * 10 + jnp.finfo(tdtype).tiny * 1e4
         next_stop = jnp.where(s.stop_ptr < n_stops,
                               stops[jnp.minimum(s.stop_ptr, n_stops - 1)],
-                              jnp.asarray(jnp.inf, dtype))
+                              jnp.asarray(jnp.inf, tdtype))
         t_bound = jnp.minimum(tf, next_stop)
         dist = t_bound - t
         # Stretch-clamp: if the step would reach within 2% of the boundary,
@@ -346,21 +363,22 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         gamma_w = jnp.where((idx >= 1) & (idx <= order),
                             gamma[jnp.minimum(idx, MAX_ORDER)], 0.0)
         psi = (gamma_w @ D) / alpha[order]
-        c = h / alpha[order]
+        c = h / alpha_t[order]          # time dtype (h may be < f32 tiny)
+        c_state = c.astype(dtype)       # state-dtype copy for Newton algebra
 
         # --- LU cache: refactor if c drifted (h/order change) ---
         need_lu = jnp.abs(c - s.c_lu) > 1e-12 * jnp.abs(c)
 
         def refactor(J):
-            f = newton_factor(J, c, lu_dtype)
+            f = newton_factor(J, c_state, lu_dtype)
             return f.lu, f.piv
 
         lu, piv = lax.cond(need_lu, lambda: refactor(s.J), lambda: (s.lu, s.piv))
         n_lu = s.n_lu + need_lu.astype(jnp.int32)
-        fact = NewtonFactors(lu=lu, piv=piv, J=s.J, c=c)
+        fact = NewtonFactors(lu=lu, piv=piv, J=s.J, c=c_state)
 
-        converged, n_it, y_new, d = newton_iterate(t_new, t, y_pred, c, psi,
-                                                    scale_pred, fact)
+        converged, n_it, y_new, d = newton_iterate(t_new, t, y_pred, c_state,
+                                                   psi, scale_pred, fact)
 
         # Newton failed on a stale Jacobian: refresh J and redo the step on
         # the *next* outer iteration instead of retrying in-line. Under
@@ -373,7 +391,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         current_jac = s.current_jac | refresh
         n_jev = s.n_jev + refresh.astype(jnp.int32)
         # Force an LU refactor with the fresh J next iteration.
-        c_lu_next = jnp.where(refresh, jnp.asarray(-jnp.inf, dtype), c)
+        c_lu_next = jnp.where(refresh, jnp.asarray(-jnp.inf, tdtype), c)
 
         safety = 0.9 * (2 * NEWTON_MAXITER + 1) / (2 * NEWTON_MAXITER + n_it.astype(dtype))
 
@@ -388,7 +406,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             return jnp.where(ok, factor, jnp.asarray(fallback, dtype))
 
         def on_newton_fail():
-            factor = jnp.asarray(0.5, dtype)
+            factor = jnp.asarray(0.5, tdtype)
             return s._replace(
                 h=h * factor, D=_change_D(D, order, factor),
                 n_equal_steps=jnp.asarray(0, jnp.int32),
@@ -408,6 +426,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             factor = _safe_factor(jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
                                            MIN_FACTOR, 1.0), MIN_FACTOR)
             factor = jnp.where(neg, jnp.minimum(factor, jnp.asarray(0.5, dtype)), factor)
+            factor = factor.astype(tdtype)
             return s._replace(
                 h=h * factor, D=_change_D(D, order, factor),
                 n_equal_steps=jnp.asarray(0, jnp.int32),
