@@ -123,12 +123,13 @@ class KineticIntegrator:
 # ---------------------------------------------------------------------------
 
 def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
+    net_jac = net.jac
     if mode == "static":
         def rhs(t, u, a):
             return net.rhs(u, a[1])
 
         def jac(t, u, a):
-            return net.jac(u, a[1])
+            return net_jac(u, a[1])
     elif mode == "discrete":
         # k is looked up at the *step start* time (4-arg integrator
         # convention): the step ending exactly at a tstop still uses the
@@ -142,13 +143,13 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
             return net.rhs(u, _k(a, t_start))
 
         def jac(t, u, a, t_start):
-            return net.jac(u, _k(a, t_start))
+            return net_jac(u, _k(a, t_start))
     elif mode == "continuous":
         def rhs(t, u, a):
             return net.rhs(u, k_fn(t + a[0]))
 
         def jac(t, u, a):
-            return net.jac(u, k_fn(t + a[0]))
+            return net_jac(u, k_fn(t + a[0]))
     else:  # pragma: no cover
         raise ValueError(mode)
     return rhs, jac
