@@ -36,7 +36,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from .linalg import NewtonFactors, newton_factor, newton_solve
+from .linalg import (NewtonFactors, newton_factor, newton_solve,
+                     resolve_linsolve)
 
 MAX_ORDER = 5
 NEWTON_MAXITER = 4
@@ -152,7 +153,7 @@ def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
 
 
 @partial(jax.jit, static_argnames=("rhs", "jac", "max_steps", "nonnegative",
-                                   "lu_precision", "refine"))
+                                   "lu_precision", "refine", "linsolve"))
 def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               t0, tf, saveat: jnp.ndarray,
               rtol=1e-8, atol=1e-10,
@@ -162,6 +163,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               nonnegative: bool = False,
               lu_precision: str = "mixed",
               refine: int = 1,
+              linsolve: str = "auto",
               args=None) -> BDFResults:
     """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to tf with BDF(1-5).
 
@@ -250,10 +252,15 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     if lu_precision == "full" and jax.default_backend() != "cpu":
         lu_precision = "mixed"
     lu_dtype = jnp.float32 if lu_precision == "mixed" else dtype
+    # Newton linear-solve method: explicit Pallas inverse on TPU ("inv"),
+    # LAPACK LU on CPU / wide systems — see linalg.resolve_linsolve.
+    linsolve = resolve_linsolve(linsolve, ns)
+    if linsolve == "inv":
+        lu_dtype = jnp.float32
 
     J0 = jac(t0, y0, t0)
     c0 = h_init / alpha_t[1]
-    fact0 = newton_factor(J0, c0.astype(dtype), lu_dtype)
+    fact0 = newton_factor(J0, c0.astype(dtype), lu_dtype, method=linsolve)
     lu0, piv0 = fact0.lu, fact0.piv
 
     tspan_scale = jnp.maximum(jnp.abs(tf), 1.0)
@@ -284,7 +291,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             it, converged, diverged, d, y, dy_norm_old = carry
             f = rhs(t_new, y, t_start)
             res = c * f - psi - d
-            dy = newton_solve(fact, res, refine=refine)
+            dy = newton_solve(fact, res, refine=refine, method=linsolve)
             dy_norm = _rms_norm(dy / scale)
             rate = jnp.where(it > 0,
                              dy_norm / jnp.maximum(dy_norm_old,
@@ -376,7 +383,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         need_lu = jnp.abs(c - s.c_lu) > 1e-12 * jnp.abs(c)
 
         def refactor(J):
-            f = newton_factor(J, c_state, lu_dtype)
+            f = newton_factor(J, c_state, lu_dtype, method=linsolve)
             return f.lu, f.piv
 
         lu, piv = lax.cond(need_lu, lambda: refactor(s.J), lambda: (s.lu, s.piv))
@@ -411,114 +418,115 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             ok = jnp.isfinite(factor) & (factor > 0.0)
             return jnp.where(ok, factor, jnp.asarray(fallback, dtype))
 
-        def on_newton_fail():
-            factor = jnp.asarray(0.5, tdtype)
-            return s._replace(
-                h=h * factor, D=_change_D(D, order, factor),
-                n_equal_steps=jnp.asarray(0, jnp.int32),
-                J=J, lu=lu, piv=piv, c_lu=c, current_jac=current_jac,
-                n_rejected=s.n_rejected + 1, n_jev=n_jev, n_lu=n_lu)
+        # ---- flattened outcome merge ----
+        # Under vmap, lax.cond lowers to select-with-both-branches, so a
+        # branch cascade executes every branch for every lane anyway while
+        # paying per-branch whole-state selects AND one D-rescale per
+        # branch. Computing all outcome scalars up front and doing a single
+        # _change_D + field-wise where is the same arithmetic with ~4x
+        # fewer kernels in the hot while body.
 
-        def on_jac_refresh():
-            # keep t/h/D; redo the step next iteration with the fresh J
-            # (c_lu sentinel forces the refactor)
-            return s._replace(
-                h=h, D=D, n_equal_steps=n_equal_steps,
-                J=J, lu=lu, piv=piv, c_lu=c_lu_next, current_jac=current_jac,
-                n_jev=n_jev, n_lu=n_lu)
+        # accept path: update differences, dense output, order adaptation
+        n_eq_acc = n_equal_steps + 1
+        D2 = D.at[order + 2].set(d - D[order + 1])
+        D2 = D2.at[order + 1].set(d)
 
-        def on_error_reject():
+        def cascade_body(i, Dc):
+            j = order - i
+            return Dc.at[j].add(Dc[j + 1])
+        D2 = lax.fori_loop(0, order + 1, cascade_body, D2)
+
+        save_ptr2, ys2 = fill_saveat(t_new, h, order, D2, s.save_ptr, s.ys)
+
+        done = t_new >= tf - 4 * eps * tspan_scale
+        hit_stop = jnp.abs(t_new - next_stop) <= 4 * eps * tspan_scale
+
+        def adapt():
             od = order.astype(dtype)
-            factor = _safe_factor(jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
+            err_m = jnp.where(
+                order > 1,
+                _rms_norm((error_const[jnp.maximum(order - 1, 0)] * D2[order]) / scale),
+                jnp.asarray(jnp.inf, dtype))
+            err_p = jnp.where(
+                order < MAX_ORDER,
+                _rms_norm((error_const[jnp.minimum(order + 1, MAX_ORDER)]
+                           * D2[order + 2]) / scale),
+                jnp.asarray(jnp.inf, dtype))
+
+            # err ** (-1/q) with guards: TPU's emulated f64 pow returns
+            # NaN for inf bases (CPU returns 0), which froze the step
+            # size permanently; clip the base and resolve the 0/inf
+            # cases with selects instead.
+            def err_factor(err, inv_q):
+                # guard bounds must be representable in the solve dtype
+                # (1e300 overflows f32 to inf and defeats the guard)
+                fi = jnp.finfo(dtype)
+                base = jnp.clip(err, jnp.asarray(fi.tiny * 1e3, dtype),
+                                jnp.asarray(fi.max / 1e3, dtype))
+                f = base ** (-inv_q)
+                f = jnp.where(err <= 0.0, jnp.asarray(MAX_FACTOR, dtype), f)
+                return jnp.where(jnp.isfinite(err), f,
+                                 jnp.asarray(0.0, dtype))
+
+            f_m = err_factor(err_m, 1.0 / od)
+            f_0 = err_factor(err_norm, 1.0 / (od + 1))
+            f_p = err_factor(err_p, 1.0 / (od + 2))
+            factors = jnp.stack([f_m, f_0, f_p])
+            best = jnp.argmax(factors)
+            new_order = jnp.clip(order + best.astype(jnp.int32) - 1, 1, MAX_ORDER)
+            factor = jnp.clip(safety * factors[best], MIN_FACTOR, MAX_FACTOR)
+            return new_order, factor
+
+        do_adapt = (n_eq_acc >= order + 1) & (~clamp)
+        new_order, factor_acc = lax.cond(
+            do_adapt, adapt, lambda: (order, jnp.asarray(1.0, dtype)))
+        # After a clamped (stop/tf-hitting) step, restore the pre-clamp h
+        # (capped: an uncapped restore from a sliver step would scale the
+        # high-order differences by factor**order and overflow them).
+        factor_acc = jnp.where(clamp, jnp.minimum(h_pre / h, MAX_FACTOR),
+                               factor_acc)
+        factor_acc = _safe_factor(factor_acc, 1.0)
+        rescale_acc = clamp | do_adapt
+
+        # error-reject factor
+        od = order.astype(dtype)
+        factor_rej = _safe_factor(jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
                                            MIN_FACTOR, 1.0), MIN_FACTOR)
-            factor = jnp.where(neg, jnp.minimum(factor, jnp.asarray(0.5, dtype)), factor)
-            factor = factor.astype(tdtype)
-            return s._replace(
-                h=h * factor, D=_change_D(D, order, factor),
-                n_equal_steps=jnp.asarray(0, jnp.int32),
-                J=J, lu=lu, piv=piv, c_lu=c, current_jac=current_jac,
-                n_rejected=s.n_rejected + 1, n_jev=n_jev, n_lu=n_lu)
+        factor_rej = jnp.where(neg, jnp.minimum(factor_rej, jnp.asarray(0.5, dtype)),
+                               factor_rej)
 
-        def on_accept():
-            n_eq = n_equal_steps + 1
-            D2 = D.at[order + 2].set(d - D[order + 1])
-            D2 = D2.at[order + 1].set(d)
+        # outcome flags: accept | error-reject | jac-refresh | newton-fail
+        reject = converged & (~accept)
+        nfail = (~converged) & (~refresh)
 
-            def cascade_body(i, Dc):
-                j = order - i
-                return Dc.at[j].add(Dc[j + 1])
-            D2 = lax.fori_loop(0, order + 1, cascade_body, D2)
+        order_next = jnp.where(accept, new_order, order)
+        factor = jnp.where(
+            accept, factor_acc.astype(tdtype),
+            jnp.where(reject, factor_rej.astype(tdtype),
+                      jnp.where(nfail, jnp.asarray(0.5, tdtype),
+                                jnp.asarray(1.0, tdtype))))
+        rescale = jnp.where(accept, rescale_acc, reject | nfail)
+        D_base = jnp.where(accept, D2, D)
+        D_next = jnp.where(rescale, _change_D(D_base, order_next, factor), D_base)
+        h_next = jnp.where(rescale, h * factor, h)
+        n_eq_next = jnp.where(
+            accept, jnp.where(rescale_acc, 0, n_eq_acc),
+            jnp.where(refresh, n_equal_steps, 0)).astype(jnp.int32)
 
-            save_ptr2, ys2 = fill_saveat(t_new, h, order, D2, s.save_ptr, s.ys)
-
-            done = t_new >= tf - 4 * eps * tspan_scale
-            hit_stop = jnp.abs(t_new - next_stop) <= 4 * eps * tspan_scale
-            stop_ptr2 = s.stop_ptr + hit_stop.astype(jnp.int32)
-
-            def adapt():
-                od = order.astype(dtype)
-                err_m = jnp.where(
-                    order > 1,
-                    _rms_norm((error_const[jnp.maximum(order - 1, 0)] * D2[order]) / scale),
-                    jnp.asarray(jnp.inf, dtype))
-                err_p = jnp.where(
-                    order < MAX_ORDER,
-                    _rms_norm((error_const[jnp.minimum(order + 1, MAX_ORDER)]
-                               * D2[order + 2]) / scale),
-                    jnp.asarray(jnp.inf, dtype))
-
-                # err ** (-1/q) with guards: TPU's emulated f64 pow returns
-                # NaN for inf bases (CPU returns 0), which froze the step
-                # size permanently; clip the base and resolve the 0/inf
-                # cases with selects instead.
-                def err_factor(err, inv_q):
-                    # guard bounds must be representable in the solve dtype
-                    # (1e300 overflows f32 to inf and defeats the guard)
-                    fi = jnp.finfo(dtype)
-                    base = jnp.clip(err, jnp.asarray(fi.tiny * 1e3, dtype),
-                                    jnp.asarray(fi.max / 1e3, dtype))
-                    f = base ** (-inv_q)
-                    f = jnp.where(err <= 0.0, jnp.asarray(MAX_FACTOR, dtype), f)
-                    return jnp.where(jnp.isfinite(err), f,
-                                     jnp.asarray(0.0, dtype))
-
-                f_m = err_factor(err_m, 1.0 / od)
-                f_0 = err_factor(err_norm, 1.0 / (od + 1))
-                f_p = err_factor(err_p, 1.0 / (od + 2))
-                factors = jnp.stack([f_m, f_0, f_p])
-                best = jnp.argmax(factors)
-                new_order = jnp.clip(order + best.astype(jnp.int32) - 1, 1, MAX_ORDER)
-                factor = jnp.clip(safety * factors[best], MIN_FACTOR, MAX_FACTOR)
-                return new_order, factor
-
-            do_adapt = (n_eq >= order + 1) & (~clamp)
-            new_order, factor = lax.cond(
-                do_adapt, adapt, lambda: (order, jnp.asarray(1.0, dtype)))
-            # After a clamped (stop/tf-hitting) step, restore the pre-clamp h
-            # (capped: an uncapped restore from a sliver step would scale the
-            # high-order differences by factor**order and overflow them).
-            factor = jnp.where(clamp, jnp.minimum(h_pre / h, MAX_FACTOR), factor)
-            factor = _safe_factor(factor, 1.0)
-            apply_rescale = clamp | do_adapt
-            D3 = jnp.where(apply_rescale, _change_D(D2, new_order, factor), D2)
-            new_h = jnp.where(apply_rescale, h * factor, h)
-            n_eq2 = jnp.where(apply_rescale, jnp.asarray(0, jnp.int32), n_eq)
-
-            return s._replace(
-                t=t_new, h=new_h, order=new_order, D=D3, n_equal_steps=n_eq2,
-                lu=lu, piv=piv, J=J, c_lu=c,
-                current_jac=jnp.asarray(False),
-                status=jnp.where(done, DONE, RUNNING).astype(jnp.int32),
-                n_accepted=s.n_accepted + 1,
-                save_ptr=save_ptr2, ys=ys2, stop_ptr=stop_ptr2,
-                n_jev=n_jev, n_lu=n_lu)
-
-        s_new = lax.cond(
-            accept, on_accept,
-            lambda: lax.cond(
-                converged, on_error_reject,
-                lambda: lax.cond(refresh, on_jac_refresh, on_newton_fail)))
-        s_new = s_new._replace(
+        s_new = s._replace(
+            t=jnp.where(accept, t_new, t),
+            h=h_next, order=order_next, D=D_next, n_equal_steps=n_eq_next,
+            lu=lu, piv=piv, J=J,
+            c_lu=c_lu_next,
+            current_jac=jnp.where(accept, jnp.asarray(False), current_jac),
+            status=jnp.where(accept & done, DONE, s.status).astype(jnp.int32),
+            n_accepted=s.n_accepted + accept.astype(jnp.int32),
+            n_rejected=s.n_rejected + (reject | nfail).astype(jnp.int32),
+            save_ptr=jnp.where(accept, save_ptr2, s.save_ptr),
+            ys=jnp.where(accept, ys2, s.ys),
+            stop_ptr=jnp.where(accept, s.stop_ptr + hit_stop.astype(jnp.int32),
+                               s.stop_ptr),
+            n_jev=n_jev, n_lu=n_lu,
             n_fev=s.n_fev + n_it,
             n_steps=s.n_steps + 1)
         too_many = s_new.n_steps >= max_steps

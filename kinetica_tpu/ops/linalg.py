@@ -21,34 +21,72 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import lu_factor, lu_solve
 
+from .pallas_linalg import MAX_PALLAS_N, gj_inverse
+
 
 class NewtonFactors(NamedTuple):
-    lu: jnp.ndarray    # LU factors (possibly f32)
-    piv: jnp.ndarray   # pivots
+    lu: jnp.ndarray    # LU factors ("lu" method) or explicit inverse ("inv")
+    piv: jnp.ndarray   # pivots ("lu") / dummy zeros ("inv")
     J: jnp.ndarray     # Jacobian used (solve dtype) — kept for refinement
     c: jnp.ndarray     # scalar c in A = I - c J
 
 
-def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32) -> NewtonFactors:
-    """Factor A = I - c J at ``lu_dtype`` precision."""
+def resolve_linsolve(method: str, ns: int) -> str:
+    """Resolve "auto" to a concrete Newton linear-solve method.
+
+    "inv" (explicit inverse via the Pallas Gauss-Jordan kernel + matvec
+    back-substitutions) is the TPU-native choice — XLA's LU/triangular
+    solves lower to ~n-iteration HLO while loops whose launch latency
+    dominates the whole integrator. CPU keeps "lu" (native f64 LAPACK
+    path, no Pallas backend), as do systems wider than one lane tile.
+    """
+    if method != "auto":
+        return method
+    if jax.default_backend() == "cpu" or ns > MAX_PALLAS_N:
+        return "lu"
+    return "inv"
+
+
+def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
+                  method: str = "lu") -> NewtonFactors:
+    """Factor A = I - c J at ``lu_dtype`` precision.
+
+    ``method`` "lu": LAPACK-style LU factors. "inv": explicit f32 inverse
+    computed by one Pallas launch (ops/pallas_linalg.py) so that each
+    back-substitution is a single fused matvec.
+    """
     dtype = J.dtype
     ns = J.shape[0]
     A = jnp.eye(ns, dtype=dtype) - c * J
+    if method == "inv":
+        minv = gj_inverse(A)
+        return NewtonFactors(lu=minv, piv=jnp.zeros((ns,), jnp.int32),
+                             J=J, c=jnp.asarray(c, dtype))
     lu, piv = lu_factor(A.astype(lu_dtype))
     return NewtonFactors(lu=lu, piv=piv, J=J, c=jnp.asarray(c, dtype))
 
 
-def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1) -> jnp.ndarray:
+def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
+                 method: str = "lu") -> jnp.ndarray:
     """Solve (I - c J) dy = b with f32 factors + f64 iterative refinement."""
     dtype = b.dtype
     lu_dtype = f.lu.dtype
-    dy = lu_solve((f.lu, f.piv), b.astype(lu_dtype)).astype(dtype)
-    if lu_dtype == dtype:
+
+    if method == "inv":
+        def solve32(v):
+            return (f.lu @ v.astype(lu_dtype)).astype(dtype)
+    else:
+        def solve32(v):
+            return lu_solve((f.lu, f.piv), v.astype(lu_dtype)).astype(dtype)
+
+    dy = solve32(b)
+    if lu_dtype == dtype and method != "inv":
         return dy
     for _ in range(refine):
         r = b - (dy - f.c * (f.J @ dy))
-        dy = dy + lu_solve((f.lu, f.piv), r.astype(lu_dtype)).astype(dtype)
+        dy = dy + solve32(r)
     return dy
