@@ -60,8 +60,19 @@ class MassActionNetwork:
     # ---- pure kinetics functions (all jit/vmap-safe) ----
 
     def rates(self, u: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-        """Per-reaction rates r_j = k_j * prod_s u_aug[slot_js]."""
-        u_aug = jnp.concatenate([u, jnp.ones((1,), dtype=u.dtype)])
+        """Per-reaction rates r_j = k_j * prod_s u_aug[slot_js].
+
+        Rates are evaluated on the nonnegative part of u (standard practice
+        in production combustion codes, e.g. Cantera). Tolerance-level
+        negative excursions are unavoidable in any ODE solve, and for a
+        quadratic self-consumption reaction a negative concentration is
+        *explosively* unstable (du/dt = -k u^2 < 0 for u < 0 blows up in
+        finite time 1/(k|u|) — sub-second at k ~ 1e12). Clipping makes the
+        u < 0 region purely restoring (production only) without changing
+        the dynamics anywhere u >= 0.
+        """
+        u_aug = jnp.concatenate([jnp.maximum(u, 0.0),
+                                 jnp.ones((1,), dtype=u.dtype)])
         prods = jnp.prod(u_aug[self.reac_slots], axis=1)
         return k * prods
 
@@ -83,7 +94,12 @@ class MassActionNetwork:
         f64 values. Padding slots point at the constant-1 column (index ns),
         which is dropped before returning (matching d(1)/du = 0).
         """
-        u_aug = jnp.concatenate([u, jnp.ones((1,), dtype=u.dtype)])
+        # consistent with :meth:`rates`: evaluated at the clipped
+        # concentrations (the one-sided derivative at u=0 is kept — species
+        # start at exactly 0 and Newton needs the consumption coupling; J
+        # is a preconditioner, so the u<0 flat-region mismatch is harmless)
+        u_aug = jnp.concatenate([jnp.maximum(u, 0.0),
+                                 jnp.ones((1,), dtype=u.dtype)])
         slot_u = u_aug[self.reac_slots]                      # (nr, arity)
 
         def leave_one_out(slots_u):

@@ -72,6 +72,7 @@ class BDFState(NamedTuple):
     save_ptr: jnp.ndarray
     ys: jnp.ndarray           # (n_save, ns)
     stop_ptr: jnp.ndarray
+    bruised: jnp.ndarray      # recent Newton failure: limit h regrowth
 
 
 class BDFResults(NamedTuple):
@@ -153,7 +154,8 @@ def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
 
 
 @partial(jax.jit, static_argnames=("rhs", "jac", "max_steps", "nonnegative",
-                                   "lu_precision", "refine", "linsolve"))
+                                   "nonnegative_project", "lu_precision",
+                                   "refine", "linsolve"))
 def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               t0, tf, saveat: jnp.ndarray,
               rtol=1e-8, atol=1e-10,
@@ -161,6 +163,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               max_steps: int = 100000,
               first_step=None,
               nonnegative: bool = False,
+              nonnegative_project: bool = True,
               lu_precision: str = "mixed",
               refine: int = 1,
               linsolve: str = "auto",
@@ -179,6 +182,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         straddles one, and after hitting a stop the pre-clamp step size is
         restored.
       nonnegative: reject steps producing any negative component.
+      nonnegative_project: clamp accepted states onto u >= 0 (tolerance-
+        level projection; see the accept-path comment).
     """
     import inspect
 
@@ -278,6 +283,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         n_jev=jnp.asarray(1, jnp.int32), n_lu=jnp.asarray(1, jnp.int32),
         save_ptr=save_ptr0.astype(jnp.int32),
         ys=jnp.zeros((n_save, ns), dtype),
+        bruised=jnp.asarray(False),
         stop_ptr=stop_ptr0.astype(jnp.int32),
     )
 
@@ -428,8 +434,16 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
         # accept path: update differences, dense output, order adaptation
         n_eq_acc = n_equal_steps + 1
-        D2 = D.at[order + 2].set(d - D[order + 1])
-        D2 = D2.at[order + 1].set(d)
+        # Projection onto u >= 0 for accepted steps: the error test has
+        # already passed on the honest d, so zeroing tolerance-level
+        # negative wiggles is within the accepted error budget. Without it,
+        # species pinned at ~0 chatter across the rate-clip boundary
+        # (models evaluate rates on max(u, 0)) and the controller grinds at
+        # tiny h; with it they land exactly on 0 and stay until produced.
+        d_proj = jnp.where(nonnegative_project,
+                           jnp.maximum(y_new, 0.0) - y_pred, d)
+        D2 = D.at[order + 2].set(d_proj - D[order + 1])
+        D2 = D2.at[order + 1].set(d_proj)
 
         def cascade_body(i, Dc):
             j = order - i
@@ -486,6 +500,13 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         factor_acc = jnp.where(clamp, jnp.minimum(h_pre / h, MAX_FACTOR),
                                factor_acc)
         factor_acc = _safe_factor(factor_acc, 1.0)
+        # CVODE-style growth limiter: after a Newton failure at larger h,
+        # the error estimate at the reduced h says "grow x10" again, and
+        # the solver thrashes in an accept/10x/diverge/halve cycle that
+        # never builds order and leaks tolerance-level negative errors.
+        # Hold h for the first accepted step after any Newton failure.
+        factor_acc = jnp.where(s.bruised, jnp.minimum(factor_acc, 1.0),
+                               factor_acc)
         rescale_acc = clamp | do_adapt
 
         # error-reject factor
@@ -528,7 +549,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                                s.stop_ptr),
             n_jev=n_jev, n_lu=n_lu,
             n_fev=s.n_fev + n_it,
-            n_steps=s.n_steps + 1)
+            n_steps=s.n_steps + 1,
+            bruised=jnp.where(accept, jnp.asarray(False), s.bruised | nfail))
         too_many = s_new.n_steps >= max_steps
         h_under = s_new.h < h_min
         status = jnp.where(s_new.status == DONE, DONE,

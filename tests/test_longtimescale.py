@@ -40,7 +40,10 @@ class TestLongTimescale:
         res = solve_network(VariableODESolve(pars, cs, calc), sd, rd)
         assert res.sol.success
         cvec = carbon_count(res.sd)
-        np.testing.assert_allclose(res.sol.u[-1] @ cvec, 8.0, rtol=1e-9)
+        # nonnegativity projection (ops/bdf.py accept path) trades exact
+        # linear-invariant conservation for positivity: drift is bounded by
+        # ~atol per projected step (observed ~3e-8 relative over 1e4 s)
+        np.testing.assert_allclose(res.sol.u[-1] @ cvec, 8.0, rtol=1e-6)
         # hot mid-plateau cracks the feed; final C8 far below initial
         assert res.sol.u[-1, res.sd.toInt["C8"]] < 0.2
 
@@ -57,7 +60,38 @@ class TestLongTimescale:
         res = solve_network(VariableODESolve(pars, cs, calc), sd, rd)
         assert res.sol.success
         cvec = carbon_count(res.sd)
-        np.testing.assert_allclose(res.sol.u[-1] @ cvec, 8.0, rtol=1e-9)
+        # nonnegativity projection (ops/bdf.py accept path) trades exact
+        # linear-invariant conservation for positivity: drift is bounded by
+        # ~atol per projected step (observed ~3e-8 relative over 1e4 s)
+        np.testing.assert_allclose(res.sol.u[-1] @ cvec, 8.0, rtol=1e-6)
         # the sawtooth T trace is recorded with resets
         T = res.sol.vcs["T"]
         assert T.max() <= 1100.0 + 1e-6 and T.min() >= 700.0 - 1e-6
+
+    def test_1e5s_slow_ramp_ignition(self):
+        """Regression: slow-ramp ignition death spiral (h-underflow).
+
+        At ~0.00686 K/s the ignition front used to seed tolerance-level
+        negative concentrations whose quadratic self-consumption is
+        explosively unstable (du/dt = -k u^2 blows up in 1/(k|u|) s),
+        driving h below the underflow floor. Fixed by evaluating rates on
+        max(u, 0) (models/mass_action.py) plus accepted-step projection
+        onto u >= 0 and the post-Newton-failure growth limiter (ops/bdf.py).
+        """
+        from kinetica_tpu.conditions.profiles import LinearGradientProfile
+
+        tf = 1e5
+        sd, rd, Ea, A = synthetic_pyrolysis_network(16)
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        rate = float(np.linspace(0.006, 0.008, 8)[3])  # worst observed
+        cs = ConditionSet({"T": LinearGradientProfile(
+            rate=rate, X_start=500.0, X_end=500.0 + rate * tf)},
+            ts_update=250.0)
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C16": 1.0},
+                                   solve_chunks=True, solve_chunkstep=2500.0,
+                                   low_k_cutoff="none", save_interval=2500.0)
+        res = solve_network(VariableODESolve(pars, cs, calc), sd, rd)
+        assert res.sol.success
+        cvec = carbon_count(res.sd)
+        np.testing.assert_allclose(res.sol.u[-1] @ cvec, 16.0, rtol=1e-6)
+        assert res.sol.u[-1].min() > -1e-8

@@ -61,13 +61,30 @@ class TestMassAction:
         np.testing.assert_allclose(J_analytic, J_ad, rtol=1e-12, atol=1e-12)
 
     def test_jacobian_with_zero_concentrations(self, rng):
+        # at exactly u=0 autodiff of max(u,0) gives the 0.5 tie-subgradient;
+        # the analytic jac keeps the one-sided derivative (species start at
+        # exactly 0 and Newton needs the coupling) — so compare at tiny
+        # positive values where both conventions coincide
         sd, rd = random_network(rng)
         net = build_mass_action(rd, sd.n)
-        u = jnp.asarray(rng.uniform(0.0, 2.0, sd.n)).at[:5].set(0.0)
+        u = jnp.asarray(rng.uniform(0.0, 2.0, sd.n)).at[:5].set(1e-30)
         k = jnp.asarray(rng.uniform(0.1, 10.0, rd.nr))
         J_analytic = np.asarray(net.jac(u, k))
         J_ad = np.asarray(jax.jacfwd(lambda uu: net.rhs(uu, k))(u))
         np.testing.assert_allclose(J_analytic, J_ad, rtol=1e-12, atol=1e-12)
+
+    def test_rates_clip_negative_concentrations(self, rng):
+        # rates are evaluated on max(u, 0): a tolerance-level negative
+        # excursion must not produce explosive negative self-consumption
+        sd, rd = random_network(rng)
+        net = build_mass_action(rd, sd.n)
+        u = jnp.asarray(rng.uniform(0.1, 2.0, sd.n))
+        k = jnp.asarray(rng.uniform(0.1, 10.0, rd.nr))
+        u_neg = u.at[:5].set(-1e-9)
+        u_zero = u.at[:5].set(0.0)
+        np.testing.assert_allclose(np.asarray(net.rates(u_neg, k)),
+                                   np.asarray(net.rates(u_zero, k)),
+                                   rtol=0, atol=0)
 
     def test_mass_conservation(self, rng):
         # a closed A<->B system conserves total mass in the RHS
