@@ -36,13 +36,55 @@ class AbstractProfile:
     is_gradient = False
     is_direct = False
 
+    # -- batched (theta-parameterised) evaluation ------------------------
+    # ``theta_fields`` lists the float attributes ``value(t)`` reads;
+    # packing them into a vector lets one traced evaluation serve a whole
+    # ensemble of same-class profiles (vmap over theta) — the continuous
+    # rate mode of parallel.batching builds k(T(t, theta)) this way.
+    # ``static_attrs`` are non-numeric attributes that select trace-time
+    # branches (e.g. DoubleRamp's ``blended``); members batched together
+    # must agree on them (checked via ``static_key``).
+    theta_fields: tuple = ()
+    static_attrs: tuple = ()
+
+    def theta(self) -> np.ndarray:
+        """Numeric parameter vector consumed by :meth:`value_theta`."""
+        if not self.theta_fields:
+            raise NotImplementedError(
+                f"{type(self).__name__} does not define theta_fields; "
+                "batched continuous evaluation is unavailable for it.")
+        return np.array([float(getattr(self, f)) for f in self.theta_fields])
+
+    def static_key(self) -> tuple:
+        """Trace signature: profiles sharing it can be batched together."""
+        return (type(self).__name__,) + tuple(
+            getattr(self, f) for f in self.static_attrs)
+
+    @classmethod
+    def value_theta(cls, t, theta, static_vals: tuple = ()):
+        """Evaluate the profile value at ``t`` from a traced theta vector."""
+        if not cls.theta_fields:
+            raise NotImplementedError(
+                f"{cls.__name__} does not define theta_fields.")
+        obj = object.__new__(cls)
+        for name, v in zip(cls.static_attrs, static_vals):
+            setattr(obj, name, v)
+        for i, name in enumerate(cls.theta_fields):
+            setattr(obj, name, theta[i])
+        return obj.value(t)
+
 
 class StaticConditionProfile(AbstractProfile):
     """Constant condition (reference static.jl:7-9)."""
     is_static = True
+    theta_fields = ("value",)
 
     def __init__(self, value: float):
         self.value = float(value)
+
+    @classmethod
+    def value_theta(cls, t, theta, static_vals: tuple = ()):
+        return theta[0] * jnp.ones_like(jnp.asarray(t, jnp.result_type(float)))
 
     def __repr__(self):
         return f"StaticConditionProfile({self.value})"
@@ -157,6 +199,8 @@ class GradientProfile(VariableProfile):
 class NullDirectProfile(DirectProfile):
     """Debug profile: X(t) = X_start always (direct_variable.jl:49-92)."""
 
+    theta_fields = ("X_start",)
+
     def __init__(self, X_start: float, t_end: float):
         super().__init__()
         self.X_start = float(X_start)
@@ -169,6 +213,8 @@ class NullDirectProfile(DirectProfile):
 
 class LinearDirectProfile(DirectProfile):
     """Linear ramp X_start -> X_end at ``rate`` (direct_variable.jl:107-155)."""
+
+    theta_fields = ("rate", "X_start", "X_end", "t_end")
 
     def __init__(self, rate: float, X_start: float, X_end: float):
         super().__init__()
@@ -195,6 +241,8 @@ class LinearDirectProfile(DirectProfile):
 class NullGradientProfile(GradientProfile):
     """Debug profile: dX/dt = 0 (gradient_variable.jl:70-114)."""
 
+    theta_fields = ("X_start",)
+
     def __init__(self, X_start: float, t_end: float):
         super().__init__()
         self.X_start = float(X_start)
@@ -210,6 +258,8 @@ class NullGradientProfile(GradientProfile):
 
 class LinearGradientProfile(GradientProfile):
     """dX/dt = rate until X_end is reached (gradient_variable.jl:120-175)."""
+
+    theta_fields = ("rate", "X_start", "X_end", "t_end")
 
     def __init__(self, rate: float, X_start: float, X_end: float):
         super().__init__()
@@ -244,6 +294,9 @@ class DoubleRampGradientProfile(GradientProfile):
                                ----- X_end
     """
 
+    theta_fields = ("X_start", "X_mid", "X_end", "rate1", "rate2",
+                    "t_startr1", "t_endr1", "t_startr2", "t_endr2", "t_blend")
+    static_attrs = ("blended",)
     def __init__(self, X_start: float, t_start_plateau: float, rate1: float,
                  X_mid: float, t_mid_plateau: float, rate2: float, X_end: float,
                  t_end_plateau: float, t_blend: float | None = None):
@@ -361,6 +414,8 @@ class SawtoothDirectProfile(DirectProfile):
     from ``X_mid - amplitude`` to ``X_mid + amplitude`` over ``period`` and
     resets, for ``n_periods`` cycles.
     """
+
+    theta_fields = ("amplitude", "period", "X_mid", "X_start", "t_end")
 
     def __init__(self, amplitude: float, period: float, X_mid: float,
                  n_periods: int = 1, X_start: float | None = None):

@@ -57,6 +57,48 @@ def build_condition_sweep(conditions_list: list[ConditionSet], calculator,
     return tstops, np.stack(k_tables)
 
 
+def build_condition_sweep_theta(conditions_list: list[ConditionSet],
+                                template: ConditionSet):
+    """Pack per-member profile parameters for a continuous-mode sweep.
+
+    Every member must bind the same symbols to the same profile class (and
+    the same trace-time static attributes) as ``template``; what may vary
+    per member is the numeric parameter vector (``theta_fields``).
+
+    Returns ``(thetas, member_stops)``: ``thetas[sym]`` is (B, p) and
+    ``member_stops`` is a (B, n_stops) +inf-padded matrix of each member's
+    profile-kink stop times (continuous mode needs stops only at genuine
+    non-smooth points, not on a rate-update grid).
+    """
+    syms = list(template.symbols)
+    thetas: dict = {}
+    stops_list = []
+    for cs in conditions_list:
+        if list(cs.symbols) != syms:
+            raise ValueError("Ensemble members must bind the same condition "
+                             "symbols as the template")
+    for sym in syms:
+        ref_key = template.get_profile(sym).static_key()
+        rows = []
+        for cs in conditions_list:
+            p = cs.get_profile(sym)
+            if p.static_key() != ref_key:
+                raise ValueError(
+                    f"Profile for {sym!r} differs structurally across the "
+                    f"ensemble ({p.static_key()} vs {ref_key}); continuous "
+                    "batching requires one traced profile family")
+            rows.append(np.asarray(p.theta()))
+        thetas[sym] = np.stack(rows)
+    for cs in conditions_list:
+        ts = np.asarray(cs.get_tstops(), dtype=np.float64)
+        stops_list.append(ts if ts.size else np.array([np.inf]))
+    n_max = max(s.size for s in stops_list)
+    member_stops = np.full((len(conditions_list), n_max), np.inf)
+    for b, s in enumerate(stops_list):
+        member_stops[b, :s.size] = s
+    return thetas, member_stops
+
+
 class EnsembleProblem:
     """Reusable compiled ensemble sweep over one CRN.
 
@@ -66,19 +108,36 @@ class EnsembleProblem:
     """
 
     def __init__(self, method: VariableODESolve, sd: SpeciesData, rd: RxData,
-                 chunk_mode: str = "auto"):
+                 chunk_mode: str = "auto", rate_mode: str = "discrete"):
         """``chunk_mode``: "scan" runs all chunks in one device program
         (lowest overhead; the right choice for CPU and for multi-chip
         dry-runs), "host" dispatches one device call per chunk (bounds the
         runtime of any single device execution — long lockstep sweeps on a
         remote-attached TPU can otherwise exceed the worker's execution
-        deadline), "auto" picks host on accelerators and scan on CPU."""
+        deadline), "auto" picks host on accelerators and scan on CPU.
+
+        ``rate_mode``: "discrete" precomputes per-member k tables on a
+        shared tstop grid (the reference's production formalism); the
+        batch payload is (shared tstops, per-member table). "continuous"
+        traces k(X(t, theta)) directly into the RHS with per-member profile
+        parameter vectors (profiles must define ``theta_fields`` and the
+        calculator must be continuous-capable): no rate-update stops are
+        forced, which on slow-ramp long-horizon sweeps cuts the step count
+        severalfold — the batched counterpart of the reference's
+        variable/continuous solve variants (methods.jl:363-653)."""
         self.method = method
         pars = method.pars
         calc = method.calculator
         if chunk_mode == "auto":
             chunk_mode = "scan" if jax.default_backend() == "cpu" else "host"
         self.chunk_mode = chunk_mode
+        if rate_mode not in ("discrete", "continuous"):
+            raise ValueError(f"unknown rate_mode {rate_mode!r}")
+        if rate_mode == "continuous" and not calc.allows_continuous:
+            raise ValueError(
+                "Calculator does not support continuous rate evaluation; "
+                "use rate_mode='discrete'.")
+        self.rate_mode = rate_mode
 
         self.sd, self.rd = sd.copy(), rd.copy()
         mask = method.filter.get_filter_mask(self.sd, self.rd)
@@ -90,7 +149,27 @@ class EnsembleProblem:
 
         self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
         self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
-        self.rhs, self.jac = _make_rhs_jac(self.net, "discrete")
+        if rate_mode == "discrete":
+            self.rhs, self.jac = _make_rhs_jac(self.net, "discrete")
+            payload_axes = (None, 0)   # (shared tstops, per-member k table)
+            stops_axes = None          # shared stop grid
+        else:
+            template = method.conditions
+            self._theta_classes = {
+                sym: (type(p), tuple(getattr(p, f) for f in p.static_attrs))
+                for sym, p in ((s, template.get_profile(s))
+                               for s in template.symbols)}
+            classes = self._theta_classes
+
+            def k_fn(t, payload):
+                bound = {sym: cls.value_theta(t, payload[sym], sv)
+                         for sym, (cls, sv) in classes.items()}
+                return calc(**bound)
+
+            self.rhs, self.jac = _make_rhs_jac(self.net, "continuous_theta",
+                                               k_fn=k_fn)
+            payload_axes = 0           # per-member theta dict
+            stops_axes = 0             # per-member profile-kink stops
         self.chunkstep = pars.solve_chunkstep
         self.saveat_local, self.n_chunks = _chunk_save_grid(pars)
         self._saveat_j = jnp.asarray(self.saveat_local)
@@ -103,7 +182,7 @@ class EnsembleProblem:
         saveat_j = self._saveat_j
         chunk_ids = self._chunk_ids
 
-        def member(u0, ktab, tstops, stops_rows, abstol, reltol):
+        def member(u0, payload, stops_rows, abstol, reltol):
             def body(carry, xs):
                 u, worst, h_prev = carry
                 nc, stops_row = xs
@@ -114,7 +193,7 @@ class EnsembleProblem:
                     nonnegative=pars_ref.ban_negatives,
                     lu_precision=pars_ref.lu_precision,
                     first_step=h_prev,
-                    args=(nc * chunkstep, (tstops, ktab)))
+                    args=(nc * chunkstep, payload))
                 return (res.y_final, jnp.minimum(worst, res.status),
                         res.h), res.ys
 
@@ -125,10 +204,10 @@ class EnsembleProblem:
             return worst, ys
 
         self._solve_fn = jax.jit(
-            jax.vmap(member, in_axes=(0, 0, None, None, None, None)))
+            jax.vmap(member, in_axes=(0, payload_axes, stops_axes,
+                                      None, None)))
 
-        def member_chunk(u0, h_prev, ktab, tstops, stops_row, nc, abstol,
-                         reltol):
+        def member_chunk(u0, h_prev, payload, stops_row, nc, abstol, reltol):
             res = bdf.bdf_solve(
                 rhs, jac, u0, 0.0, chunkstep, saveat_j,
                 rtol=reltol, atol=abstol, stops=stops_row,
@@ -136,12 +215,13 @@ class EnsembleProblem:
                 nonnegative=pars_ref.ban_negatives,
                 lu_precision=pars_ref.lu_precision,
                 first_step=h_prev,
-                args=(nc * chunkstep, (tstops, ktab)))
+                args=(nc * chunkstep, payload))
             return res.y_final, res.h, res.status, res.ys
 
         self._chunk_fn = jax.jit(
             jax.vmap(member_chunk,
-                     in_axes=(0, 0, 0, None, None, None, None, None)))
+                     in_axes=(0, 0, payload_axes, stops_axes, None,
+                              None, None)))
 
     def solve(self, conditions_list: list[ConditionSet] | None = None,
               u0s: np.ndarray | None = None, sharding=None,
@@ -150,37 +230,62 @@ class EnsembleProblem:
         pars = self.pars
         calc = self.method.calculator
 
-        if k_tables is None:
+        if self.rate_mode == "continuous":
+            if k_tables is not None or tstops is not None:
+                raise ValueError("k_tables/tstops are discrete-mode inputs")
             if conditions_list is None:
-                self.method.conditions.solve_variable_conditions(pars)
-                tstops, k_table = calculate_discrete_rates(
-                    self.method.conditions, calc, self.rd.nr)
-                k_tables = k_table[None]
-            else:
-                tstops, k_tables = build_condition_sweep(
-                    conditions_list, calc, self.rd.nr, pars)
-        B = k_tables.shape[0]
+                conditions_list = [self.method.conditions]
+            thetas, member_stops = build_condition_sweep_theta(
+                conditions_list, self.method.conditions)
+            B = member_stops.shape[0]
+            payload = {sym: jnp.asarray(v, dtype=self.dtype)
+                       for sym, v in thetas.items()}
+            # per-member chunk-localised profile-kink stops
+            rows = [_chunk_local_stops(member_stops[b], self.n_chunks,
+                                       self.chunkstep) for b in range(B)]
+            m_max = max(r.shape[1] for r in rows)
+            stops_rows = np.full((B, self.n_chunks, m_max), np.inf)
+            for b, r in enumerate(rows):
+                stops_rows[b, :, :r.shape[1]] = r
+            stops_rows = jnp.asarray(stops_rows)
+        else:
+            if k_tables is None:
+                if conditions_list is None:
+                    self.method.conditions.solve_variable_conditions(pars)
+                    tstops, k_table = calculate_discrete_rates(
+                        self.method.conditions, calc, self.rd.nr)
+                    k_tables = k_table[None]
+                else:
+                    tstops, k_tables = build_condition_sweep(
+                        conditions_list, calc, self.rd.nr, pars)
+            B = k_tables.shape[0]
+
         if u0s is None:
             u0s = np.broadcast_to(make_u0(self.sd, pars), (B, self.sd.n))
         elif u0s.shape[0] != B:
-            if B == 1:
+            if B == 1 and self.rate_mode == "discrete":
                 k_tables = np.broadcast_to(
                     k_tables, (u0s.shape[0],) + k_tables.shape[1:])
                 B = u0s.shape[0]
             else:
                 raise ValueError("u0s and condition batch sizes do not match")
 
-        stops_rows = jnp.asarray(
-            _chunk_local_stops(tstops, self.n_chunks, self.chunkstep))
+        if self.rate_mode == "discrete":
+            stops_rows = jnp.asarray(
+                _chunk_local_stops(tstops, self.n_chunks, self.chunkstep))
+            payload = (jnp.asarray(tstops, dtype=self.dtype),
+                       jnp.asarray(k_tables, dtype=self.dtype))
         u0s_j = jnp.asarray(u0s, dtype=self.dtype)
-        ktabs_j = jnp.asarray(k_tables, dtype=self.dtype)
         if sharding is not None:
             u0s_j = jax.device_put(u0s_j, sharding)
-            ktabs_j = jax.device_put(ktabs_j, sharding)
+            if self.rate_mode == "discrete":
+                payload = (payload[0], jax.device_put(payload[1], sharding))
+            else:
+                payload = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), payload)
 
-        logger.info(" - Solving %d-member ensemble (%d chunks each, %s mode)...",
-                    B, self.n_chunks, self.chunk_mode)
-        tstops_j = jnp.asarray(tstops, dtype=self.dtype)
+        logger.info(" - Solving %d-member ensemble (%d chunks each, %s/%s mode)...",
+                    B, self.n_chunks, self.chunk_mode, self.rate_mode)
         abstol_j = jnp.asarray(pars.abstol)
         reltol_j = jnp.asarray(pars.reltol)
         if self.chunk_mode == "host":
@@ -189,8 +294,10 @@ class EnsembleProblem:
             worst = None
             ys_chunks = []
             for nc in range(self.n_chunks):
+                row = (stops_rows[nc] if self.rate_mode == "discrete"
+                       else stops_rows[:, nc])
                 u, h, status, ys_c = self._chunk_fn(
-                    u, h, ktabs_j, tstops_j, stops_rows[nc],
+                    u, h, payload, row,
                     jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
                 ys_chunks.append(ys_c)
                 worst = status if worst is None else jnp.minimum(worst, status)
@@ -198,7 +305,7 @@ class EnsembleProblem:
             ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
         else:
             statuses, ys = self._solve_fn(
-                u0s_j, ktabs_j, tstops_j, stops_rows, abstol_j, reltol_j)
+                u0s_j, payload, stops_rows, abstol_j, reltol_j)
             statuses = np.asarray(statuses)
         m = len(self.saveat_local)
         ys = np.asarray(ys).reshape(B, self.n_chunks * m, -1)
@@ -226,8 +333,9 @@ def solve_network_ensemble(method: VariableODESolve, sd: SpeciesData,
                            rd: RxData,
                            conditions_list: list[ConditionSet] | None = None,
                            u0s: np.ndarray | None = None,
-                           sharding=None) -> EnsembleSolution:
-    """One-shot chunkwise discrete-rate ensemble solve (compiles each call;
-    use :class:`EnsembleProblem` to amortise compilation across sweeps)."""
-    return EnsembleProblem(method, sd, rd).solve(
+                           sharding=None,
+                           rate_mode: str = "discrete") -> EnsembleSolution:
+    """One-shot chunkwise ensemble solve (compiles each call; use
+    :class:`EnsembleProblem` to amortise compilation across sweeps)."""
+    return EnsembleProblem(method, sd, rd, rate_mode=rate_mode).solve(
         conditions_list=conditions_list, u0s=u0s, sharding=sharding)

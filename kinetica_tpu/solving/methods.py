@@ -150,6 +150,14 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
 
         def jac(t, u, a):
             return net_jac(u, k_fn(t + a[0]))
+    elif mode == "continuous_theta":
+        # batched continuous: profiles evaluated from per-member theta
+        # vectors threaded through args (parallel.batching builds k_fn)
+        def rhs(t, u, a):
+            return net.rhs(u, k_fn(t + a[0], a[1]))
+
+        def jac(t, u, a):
+            return net_jac(u, k_fn(t + a[0], a[1]))
     else:  # pragma: no cover
         raise ValueError(mode)
     return rhs, jac

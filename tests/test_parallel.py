@@ -7,7 +7,8 @@ from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
 from kinetica_tpu.conditions.condition_set import ConditionSet
 from kinetica_tpu.conditions.profiles import LinearGradientProfile
 from kinetica_tpu.core.network import RxData, SpeciesData
-from kinetica_tpu.parallel.batching import solve_network_ensemble
+from kinetica_tpu.parallel.batching import (EnsembleProblem,
+                                             solve_network_ensemble)
 from kinetica_tpu.parallel.sharding import batch_sharding, make_mesh
 from kinetica_tpu.solving.methods import VariableODESolve, solve_network
 from kinetica_tpu.solving.params import ODESimulationParams
@@ -118,3 +119,58 @@ class TestChunkModes:
             conditions_list=conditions_list)
         assert scan.success and host.success
         np.testing.assert_array_equal(np.asarray(scan.u), np.asarray(host.u))
+
+
+class TestContinuousEnsemble:
+    """Continuous-mode (theta-batched) ensembles vs discrete and analytic."""
+
+    def _setup(self, B=3, tf=6.0):
+        from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+        from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+        sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        rates = np.linspace(60.0, 80.0, B)
+        conds = [ConditionSet({"T": LinearGradientProfile(
+            rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)})
+            for r in rates]
+        conds_d = [ConditionSet({"T": LinearGradientProfile(
+            rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)},
+            ts_update=0.02) for r in rates]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C6": 1.0},
+                                   solve_chunks=True, solve_chunkstep=1.0,
+                                   low_k_cutoff="none", save_interval=0.5)
+        return sd, rd, calc, conds, conds_d, pars
+
+    def test_continuous_matches_fine_discrete(self):
+        sd, rd, calc, conds, conds_d, pars = self._setup()
+        method = VariableODESolve(pars, conds_d[0], calc)
+        ec = EnsembleProblem(method, sd, rd, rate_mode="continuous").solve(
+            conditions_list=conds)
+        ed = EnsembleProblem(method, sd, rd, rate_mode="discrete").solve(
+            conditions_list=conds_d)
+        assert ec.success and ed.success
+        np.testing.assert_allclose(ec.u[:, -1], ed.u[:, -1], atol=5e-4)
+
+    def test_continuous_requires_capable_calculator(self):
+        sd, rd, calc, conds, conds_d, pars = self._setup()
+        method = VariableODESolve(pars, conds_d[0], calc)
+
+        class NotContinuous(type(calc)):
+            allows_continuous = False
+
+        calc2 = NotContinuous(calc.Ea, calc.A, k_max=1e12)
+        with pytest.raises(ValueError, match="continuous"):
+            EnsembleProblem(VariableODESolve(pars, conds_d[0], calc2),
+                            sd, rd, rate_mode="continuous")
+
+    def test_theta_structural_mismatch_rejected(self):
+        from kinetica_tpu.conditions.profiles import DoubleRampGradientProfile
+        sd, rd, calc, conds, conds_d, pars = self._setup()
+        bad = ConditionSet({"T": DoubleRampGradientProfile(
+            X_start=500.0, t_start_plateau=1.0, rate1=100.0, X_mid=800.0,
+            t_mid_plateau=1.0, rate2=-100.0, X_end=500.0,
+            t_end_plateau=1.0)})
+        method = VariableODESolve(pars, conds_d[0], calc)
+        prob = EnsembleProblem(method, sd, rd, rate_mode="continuous")
+        with pytest.raises(ValueError, match="structurally|symbols"):
+            prob.solve(conditions_list=[conds[0], bad])
