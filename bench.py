@@ -37,10 +37,11 @@ def build():
     calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
     tf = 14.0
     rates = np.linspace(40.0, 60.0, BATCH)
+    # continuous rate mode: k(T(t)) traced into the RHS (same formalism as
+    # the scipy baseline below — no discretisation gap on either side)
     conditions_list = [
         ConditionSet({"T": LinearGradientProfile(
-            rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)},
-            ts_update=0.25)
+            rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)})
         for r in rates]
     pars = ODESimulationParams(tspan=(0.0, tf), u0={f"C{N_CARBONS}": 1.0},
                                solve_chunks=True, solve_chunkstep=0.5,
@@ -136,7 +137,7 @@ def main():
 
     # Device sweep: BATCH profiles at once (warm-up compile, then timed)
     method = VariableODESolve(pars, conditions_list[0], calc)
-    problem = EnsembleProblem(method, sd, rd)
+    problem = EnsembleProblem(method, sd, rd, rate_mode="continuous")
     t0 = time.perf_counter()
     ens = problem.solve(conditions_list=conditions_list)
     compile_and_run = time.perf_counter() - t0
