@@ -90,6 +90,17 @@ class BDFResults(NamedTuple):
     n_lu: jnp.ndarray
 
 
+def time_dtype(state_dtype):
+    """The dtype bdf_solve carries time quantities (t, h) in.
+
+    f64 when x64 is enabled regardless of the state dtype (time variables
+    are scalars, so f64 emulation is free, while f32 time caps resolvable
+    step ratios at h/t ~ 1e-7). Callers carrying ``BDFResults.h`` across
+    chunkwise segments must initialise the carry in this dtype.
+    """
+    return jnp.float64 if jax.config.jax_enable_x64 else state_dtype
+
+
 def _rms_norm(x):
     return jnp.sqrt(jnp.mean(x * x))
 
@@ -163,7 +174,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               max_steps: int = 100000,
               first_step=None,
               nonnegative: bool = False,
-              nonnegative_project: bool = True,
+              nonnegative_project: bool = False,
               lu_precision: str = "mixed",
               refine: int = 1,
               linsolve: str = "auto",
@@ -183,7 +194,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         restored.
       nonnegative: reject steps producing any negative component.
       nonnegative_project: clamp accepted states onto u >= 0 (tolerance-
-        level projection; see the accept-path comment).
+        level projection; see the accept-path comment). Off by default —
+        this is a generic integrator; the kinetics call sites enable it.
     """
     import inspect
 

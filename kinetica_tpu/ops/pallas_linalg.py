@@ -46,9 +46,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 SUBLANE = 8
 MAX_PALLAS_N = 128
-# members per launch: keep the (B, n_pad, 2*LANE) f32 augmented scratch
-# plus in/out blocks well under the ~16 MB of VMEM
+# legacy alias for the widest batch (n_pad == 8); see _max_batch
 MAX_PALLAS_BATCH = 64
+
+
+def _max_batch(n_pad: int) -> int:
+    """Members per launch so the augmented scratch + in/out blocks stay
+    well inside VMEM (~16 MB): bytes/member = n_pad * (2+1+1) * LANE * 4."""
+    budget = 10 * 1024 * 1024
+    per_member = n_pad * 4 * LANE * 4
+    return max(8, (budget // per_member) // 8 * 8)
 
 
 def _pad_up(n: int, m: int) -> int:
@@ -131,17 +138,18 @@ def _gj_call(Ab: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     B, n = Ab.shape[0], Ab.shape[-1]
     if n > MAX_PALLAS_N:
         raise ValueError(f"gj_inverse supports n <= {MAX_PALLAS_N}, got {n}")
-    if B > MAX_PALLAS_BATCH:
-        nchunk = -(-B // MAX_PALLAS_BATCH)
-        Bp = nchunk * MAX_PALLAS_BATCH
+    n_pad = _pad_up(max(n, SUBLANE), SUBLANE)
+    bmax = _max_batch(n_pad)
+    if B > bmax:
+        nchunk = -(-B // bmax)
+        Bp = nchunk * bmax
         Apad = jnp.zeros((Bp, n, n), jnp.float32)
         Apad = Apad.at[:B].set(Ab.astype(jnp.float32))
         Apad = Apad.at[B:, :, :].add(jnp.eye(n, dtype=jnp.float32))
-        chunks = Apad.reshape(nchunk, MAX_PALLAS_BATCH, n, n)
+        chunks = Apad.reshape(nchunk, bmax, n, n)
         out = lax.map(lambda a: _gj_call(a, interpret), chunks)
         return out.reshape(Bp, n, n)[:B]
 
-    n_pad = _pad_up(max(n, SUBLANE), SUBLANE)
     Ap = jnp.zeros((B, n_pad, LANE), jnp.float32)
     Ap = Ap.at[:, :n, :n].set(Ab.astype(jnp.float32))
     inv = pl.pallas_call(

@@ -191,6 +191,7 @@ class EnsembleProblem:
                     rtol=reltol, atol=abstol, stops=stops_row,
                     max_steps=int(pars_ref.maxiters),
                     nonnegative=pars_ref.ban_negatives,
+                    nonnegative_project=pars_ref.project_negatives,
                     lu_precision=pars_ref.lu_precision,
                     first_step=h_prev,
                     args=(nc * chunkstep, payload))
@@ -199,7 +200,7 @@ class EnsembleProblem:
 
             (_, worst, _), ys = jax.lax.scan(
                 body, (u0, jnp.asarray(bdf.DONE, jnp.int32),
-                       jnp.asarray(jnp.nan, u0.dtype)),
+                       jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))),
                 (chunk_ids, stops_rows))
             return worst, ys
 
@@ -213,6 +214,7 @@ class EnsembleProblem:
                 rtol=reltol, atol=abstol, stops=stops_row,
                 max_steps=int(pars_ref.maxiters),
                 nonnegative=pars_ref.ban_negatives,
+                nonnegative_project=pars_ref.project_negatives,
                 lu_precision=pars_ref.lu_precision,
                 first_step=h_prev,
                 args=(nc * chunkstep, payload))
@@ -263,12 +265,17 @@ class EnsembleProblem:
         if u0s is None:
             u0s = np.broadcast_to(make_u0(self.sd, pars), (B, self.sd.n))
         elif u0s.shape[0] != B:
-            if B == 1 and self.rate_mode == "discrete":
-                k_tables = np.broadcast_to(
-                    k_tables, (u0s.shape[0],) + k_tables.shape[1:])
-                B = u0s.shape[0]
-            else:
+            if B != 1:
                 raise ValueError("u0s and condition batch sizes do not match")
+            B = u0s.shape[0]
+            if self.rate_mode == "discrete":
+                k_tables = np.broadcast_to(
+                    k_tables, (B,) + k_tables.shape[1:])
+            else:
+                payload = jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, (B,) + x.shape[1:]), payload)
+                stops_rows = jnp.broadcast_to(
+                    stops_rows, (B,) + stops_rows.shape[1:])
 
         if self.rate_mode == "discrete":
             stops_rows = jnp.asarray(
@@ -290,7 +297,7 @@ class EnsembleProblem:
         reltol_j = jnp.asarray(pars.reltol)
         if self.chunk_mode == "host":
             u = u0s_j
-            h = jnp.full((B,), jnp.nan, self.dtype)
+            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
             worst = None
             ys_chunks = []
             for nc in range(self.n_chunks):

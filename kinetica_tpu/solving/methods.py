@@ -111,6 +111,7 @@ class KineticIntegrator:
             stops=None if self.stops is None else jnp.asarray(self.stops),
             max_steps=int(self.pars.maxiters),
             nonnegative=self.pars.ban_negatives,
+            nonnegative_project=self.pars.project_negatives,
             lu_precision=self.pars.lu_precision,
             args=self.args)
 
@@ -119,17 +120,17 @@ class KineticIntegrator:
 # RHS/Jacobian builders.  args convention: (t_shift, payload)
 #   static k    : payload = k vector
 #   discrete k  : payload = (tstops, k_table)
-#   continuous k: payload = None (k_fn closure over profile closed forms)
+#   continuous k : payload unused (k_fn closure over profile closed forms)
+#   continuous_theta: payload = per-member profile theta dict
 # ---------------------------------------------------------------------------
 
 def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
-    net_jac = net.jac
     if mode == "static":
         def rhs(t, u, a):
             return net.rhs(u, a[1])
 
         def jac(t, u, a):
-            return net_jac(u, a[1])
+            return net.jac(u, a[1])
     elif mode == "discrete":
         # k is looked up at the *step start* time (4-arg integrator
         # convention): the step ending exactly at a tstop still uses the
@@ -143,13 +144,13 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
             return net.rhs(u, _k(a, t_start))
 
         def jac(t, u, a, t_start):
-            return net_jac(u, _k(a, t_start))
+            return net.jac(u, _k(a, t_start))
     elif mode == "continuous":
         def rhs(t, u, a):
             return net.rhs(u, k_fn(t + a[0]))
 
         def jac(t, u, a):
-            return net_jac(u, k_fn(t + a[0]))
+            return net.jac(u, k_fn(t + a[0]))
     elif mode == "continuous_theta":
         # batched continuous: profiles evaluated from per-member theta
         # vectors threaded through args (parallel.batching builds k_fn)
@@ -157,7 +158,7 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
             return net.rhs(u, k_fn(t + a[0], a[1]))
 
         def jac(t, u, a):
-            return net_jac(u, k_fn(t + a[0], a[1]))
+            return net.jac(u, k_fn(t + a[0], a[1]))
     else:  # pragma: no cover
         raise ValueError(mode)
     return rhs, jac
@@ -183,6 +184,7 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
     res = bdf.bdf_solve(
         rhs, jac, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
         max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
+        nonnegative_project=pars.project_negatives,
         lu_precision=pars.lu_precision, first_step=first_step, args=args)
     return res.status, res.ys, res.y_final, {
         "n_steps": res.n_steps, "n_accepted": res.n_accepted,
@@ -357,7 +359,7 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         rt = jnp.asarray(reltol)
         u = u0
         worst = jnp.asarray(bdf.DONE, jnp.int32)
-        h = jnp.asarray(jnp.nan, u0.dtype)
+        h = jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))
         ys_parts = []
         for lo in range(0, n_chunks, cpd):
             hi = min(lo + cpd, n_chunks)

@@ -27,6 +27,12 @@ class ODESimulationParams:
     solve_chunkstep: float = 1e-3
     maxiters: int = 100000
     ban_negatives: bool = False
+    # clamp accepted integrator states onto u >= 0 (tolerance-level
+    # projection; trades exact linear-invariant conservation for
+    # positivity — negative excursions are explosively unstable under
+    # quadratic mass action). Distinct from ban_negatives, which REJECTS
+    # offending steps like the reference's isoutofdomain.
+    project_negatives: bool = True
     progress: bool = False
     save_interval: float | None = None
     low_k_cutoff: object = "auto"               # float | "auto" | "none"

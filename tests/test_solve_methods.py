@@ -244,3 +244,44 @@ class TestChunkDispatchGrouping:
             results.append(np.asarray(res.sol.u))
         np.testing.assert_array_equal(results[0], results[1])
         np.testing.assert_array_equal(results[0], results[2])
+
+
+def test_float32_state_dtype_solves():
+    """Regression: f32 state + f64 time carry (h) must trace cleanly.
+
+    BDFResults.h is always in the time dtype (f64 under x64); the chunk
+    loops used to initialise the scan h-carry in the state dtype, which
+    made every float32 chunkwise solve fail at trace time with a scan
+    carry type mismatch.
+    """
+    from kinetica_tpu.parallel.batching import EnsembleProblem
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    mk = lambda r: ConditionSet({"T": LinearGradientProfile(
+        rate=r, X_start=500.0, X_end=500.0 + r * 4)}, ts_update=0.25)
+    pars = ODESimulationParams(tspan=(0.0, 4.0), u0={"C6": 1.0},
+                               solve_chunks=True, solve_chunkstep=1.0,
+                               low_k_cutoff="none", dtype="float32",
+                               abstol=1e-6, reltol=1e-4)
+    res = solve_network(VariableODESolve(pars, mk(60.0), calc), sd, rd)
+    assert res.sol.success
+    ens = EnsembleProblem(VariableODESolve(pars, mk(60.0), calc),
+                          sd, rd).solve(conditions_list=[mk(55.0), mk(60.0)])
+    assert ens.success
+
+
+def test_nonnegative_projection_is_kinetics_only():
+    """The generic ops-level bdf_solve must not clamp states by default."""
+    import jax.numpy as jnp
+    from kinetica_tpu.ops import bdf
+
+    Adec = -jnp.eye(2)
+    rhs = lambda t, y, a: Adec @ y
+    jac = lambda t, y, a: Adec
+    res = bdf.bdf_solve(rhs, jac, jnp.array([-1.0, 1.0]), 0.0, 1.0,
+                        jnp.array([1.0]), rtol=1e-8, atol=1e-10, args=0.0)
+    assert int(res.status) == bdf.DONE
+    np.testing.assert_allclose(np.asarray(res.ys[0]),
+                               [-np.exp(-1.0), np.exp(-1.0)], atol=1e-7)
