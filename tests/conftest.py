@@ -9,6 +9,11 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+# Subprocesses spawned by tests (e.g. the mock CDE executable) must be able
+# to import kinetica_tpu regardless of how pytest was invoked.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = _repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
