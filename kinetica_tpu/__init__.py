@@ -24,6 +24,18 @@ def __getattr__(name):
         "format_rxn": "kinetica_tpu.core.network",
         "print_rxn": "kinetica_tpu.core.network",
         "ConditionSet": "kinetica_tpu.conditions.condition_set",
+        "StaticConditionProfile": "kinetica_tpu.conditions.profiles",
+        "NullDirectProfile": "kinetica_tpu.conditions.profiles",
+        "LinearDirectProfile": "kinetica_tpu.conditions.profiles",
+        "SawtoothDirectProfile": "kinetica_tpu.conditions.profiles",
+        "NullGradientProfile": "kinetica_tpu.conditions.profiles",
+        "LinearGradientProfile": "kinetica_tpu.conditions.profiles",
+        "DoubleRampGradientProfile": "kinetica_tpu.conditions.profiles",
+        "DummyKineticCalculator": "kinetica_tpu.calculators.builtin",
+        "PrecalculatedArrheniusCalculator": "kinetica_tpu.calculators.builtin",
+        "PrecalculatedLindemannCalculator": "kinetica_tpu.calculators.builtin",
+        "TSTCalculator": "kinetica_tpu.calculators.tst",
+        "ASENEBCalculator": "kinetica_tpu.ase.calculator",
         "ODESimulationParams": "kinetica_tpu.solving.params",
         "RxFilter": "kinetica_tpu.solving.filters",
         "StaticODESolve": "kinetica_tpu.solving.methods",
