@@ -18,6 +18,7 @@ __all__ = [
     "kabsch_fit", "kabsch_fit_frame", "kabsch_rmsd", "moments_of_inertia",
     "permute_hydrogens",
     "calc_species_vibrations", "calc_ts_vibrations", "select_modes",
+    "cross_check", "numpy_enthalpy", "numpy_entropy",
 ]
 
 
@@ -27,4 +28,9 @@ def __getattr__(name):
     if name == "ASENEBCalculator":
         from .calculator import ASENEBCalculator
         return ASENEBCalculator
+    if name in ("cross_check", "numpy_enthalpy", "numpy_entropy",
+                "make_idealgas_thermo", "asethermo_entropy",
+                "asethermo_enthalpy"):
+        from . import thermo_check
+        return getattr(thermo_check, name)
     raise AttributeError(name)

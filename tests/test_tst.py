@@ -180,3 +180,42 @@ class TestTSTCalculator:
         res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
         assert res.sol.success
         assert res.sol.u[-1, 0] < res.sol.u[0, 0]  # methane consumed
+
+
+class TestThermoCrossCheck:
+    """The asethermo_interface parity module (ase/thermo_check.py)."""
+
+    def test_numpy_reference_agrees(self):
+        from kinetica_tpu.ase.thermo_check import cross_check
+        rep = cross_check(
+            mass=28.05, inertias=[3.5, 16.8, 20.3], geometry=2, symmetry=4,
+            mult=1, energy=-12.4,
+            vib_energies=[0.1, 0.12, 0.2, 0.38, 0.39, 0.4],
+            T=450.0, P=2.1e5)
+        assert rep["dS_numpy"] < 1e-12
+        assert rep["dH_numpy"] < 1e-12
+
+    def test_linear_and_monatomic_geometries(self):
+        from kinetica_tpu.ase.thermo_check import cross_check
+        rep = cross_check(mass=28.0, inertias=[0.0, 8.7, 8.7], geometry=1,
+                          symmetry=2, mult=1, energy=-9.0,
+                          vib_energies=[0.15, 0.25], T=700.0, P=1e5)
+        assert rep["dS_numpy"] < 1e-12 and rep["dH_numpy"] < 1e-12
+        rep = cross_check(mass=39.9, inertias=[0.0, 0.0, 0.0], geometry=0,
+                          symmetry=1, mult=1, energy=0.0,
+                          vib_energies=np.zeros((0,)), T=300.0, P=1e5)
+        assert rep["dS_numpy"] < 1e-12 and rep["dH_numpy"] < 1e-12
+
+    def test_ase_reference_if_available(self):
+        pytest.importorskip("ase")
+        from kinetica_tpu.ase.thermo_check import cross_check
+        from kinetica_tpu.chem import frame_from_smiles
+        frame = frame_from_smiles("C=C")
+        rep = cross_check(
+            mass=28.05, inertias=[3.5, 16.8, 20.3], geometry=2, symmetry=4,
+            mult=1, energy=-12.4,
+            vib_energies=[0.1, 0.12, 0.2, 0.38, 0.39, 0.4],
+            T=450.0, P=2.1e5, frame=frame)
+        # ASE computes from the atoms' own mass/inertia, so compare its own
+        # H (mass-independent) tightly and S loosely (geometry-derived).
+        assert rep["dH_ase"] < 1e-10
