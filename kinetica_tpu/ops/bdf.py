@@ -102,7 +102,28 @@ def time_dtype(state_dtype):
 
 
 def _rms_norm(x):
+    """Weighted RMS norm, computed in f32.
+
+    Norms only feed *controller decisions* (Newton convergence tests, the
+    error test, step-size factors) whose thresholds are heuristic at the
+    1e-3 level, so f32's 1e-7 relative accuracy is far more than enough —
+    while f64 scalar chains are ~12x slower on TPU (double-double
+    emulation). Scaled inputs are clipped at 1e16 so squares can never
+    overflow f32 (any norm above ~10 means "reject" regardless of its
+    exact value, and 1e16 still compares/reciprocates finitely); raw-rate
+    heuristics that need the true magnitude use :func:`_rms_norm_f64`.
+    """
+    x = jnp.clip(x.astype(jnp.float32), -1e16, 1e16)
     return jnp.sqrt(jnp.mean(x * x))
+
+
+def _rms_norm_f64(x):
+    return jnp.sqrt(jnp.mean(x * x))
+
+
+def _scaled_norm(v, scale32):
+    """_rms_norm(v / scale) with the division done in f32 too."""
+    return _rms_norm(v.astype(jnp.float32) / scale32)
 
 
 def _compute_R(factor, dtype):
@@ -150,14 +171,17 @@ def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
     """
     tdtype = t0.dtype if hasattr(t0, "dtype") else jnp.result_type(float)
     scale = atol + jnp.abs(y0) * rtol
-    d0 = _rms_norm(y0 / scale).astype(tdtype)
-    d1 = _rms_norm(f0 / scale).astype(tdtype)
+    # full-precision norms here: f0/scale can reach ~1e20 (stiff rates over
+    # tiny atol), far beyond the f32 range the clipped controller norm
+    # assumes, and h0 ~ d0/d1 needs the true magnitudes
+    d0 = _rms_norm_f64(y0 / scale).astype(tdtype)
+    d1 = _rms_norm_f64(f0 / scale).astype(tdtype)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     h0 = jnp.minimum(h0, jnp.abs(tf - t0))
     h0 = jnp.maximum(h0, jnp.asarray(jnp.finfo(y0.dtype).tiny * 1e3, tdtype))
     y1 = y0 + h0.astype(y0.dtype) * f0
     f1 = rhs(t0 + h0, y1)
-    d2 = _rms_norm((f1 - f0) / scale).astype(tdtype) / h0
+    d2 = _rms_norm_f64((f1 - f0) / scale).astype(tdtype) / h0
     h1 = jnp.where(jnp.maximum(d1, d2) <= 1e-15,
                    jnp.maximum(1e-6, h0 * 1e-3),
                    (0.01 / jnp.maximum(d1, d2)) ** 0.5)
@@ -166,7 +190,7 @@ def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
 
 @partial(jax.jit, static_argnames=("rhs", "jac", "max_steps", "nonnegative",
                                    "nonnegative_project", "lu_precision",
-                                   "refine", "linsolve"))
+                                   "refine", "linsolve", "prepare"))
 def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               t0, tf, saveat: jnp.ndarray,
               rtol=1e-8, atol=1e-10,
@@ -178,6 +202,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               lu_precision: str = "mixed",
               refine: int = 1,
               linsolve: str = "auto",
+              prepare: Callable | None = None,
               args=None) -> BDFResults:
     """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to tf with BDF(1-5).
 
@@ -196,6 +221,15 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
       nonnegative_project: clamp accepted states onto u >= 0 (tolerance-
         level projection; see the accept-path comment). Off by default —
         this is a generic integrator; the kinetics call sites enable it.
+      prepare: optional ``(t_stage, t_step_start, args) -> pre`` hook
+        computing the step-invariant part of the model (for kinetics: the
+        rate-constant vector k). BDF has a single implicit stage, so
+        everything depending only on time is CONSTANT across the Newton
+        iterations of a step attempt — but XLA does not hoist it out of
+        the Newton while-loop on its own, and an emulated-f64 ``exp`` over
+        every reaction per Newton iteration dominated the measured step
+        cost on TPU. With ``prepare`` given, ``rhs``/``jac`` are called as
+        ``fn(t, y, pre)`` and the hook runs once per step attempt.
     """
     import inspect
 
@@ -216,8 +250,17 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             return lambda t, y, t_start: fn(t, y, args)
         return lambda t, y, t_start: fn(t, y)
 
-    rhs = _adapt(rhs)
-    jac = _adapt(jac)
+    if prepare is not None:
+        # rhs/jac have signature (t, y, pre); thread pre through the
+        # t_start slot of the internal convention.
+        user_rhs, user_jac = rhs, jac
+        rhs = lambda t, y, pre: user_rhs(t, y, pre)
+        jac = lambda t, y, pre: user_jac(t, y, pre)
+        _prep = lambda t_stage, t_start: prepare(t_stage, t_start, args)
+    else:
+        rhs = _adapt(rhs)
+        jac = _adapt(jac)
+        _prep = lambda t_stage, t_start: t_start
     dtype = y0.dtype
     # Precision policy: STATE (y, D, J, LU, norms) in the solve dtype; TIME
     # (t, h, saveat, stops) always in f64 when available. Time variables
@@ -241,20 +284,29 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
     _, gamma, alpha, error_const = _bdf_constants(dtype)
     alpha_t = alpha.astype(tdtype)
+    # Controller precision policy: error norms, Newton convergence tests and
+    # step/order factors are pure *decisions* with ~1e-3 meaningful
+    # resolution, so they run in f32 (f64 scalar chains are ~12x slower on
+    # TPU). State (y, D, residuals) stays in the solve dtype throughout —
+    # the error ESTIMATE d = y_new - y_pred must resolve rtol-level
+    # differences, only its NORM is taken in f32.
+    f32 = jnp.float32
+    error_const32 = error_const.astype(f32)
     newton_tol = jnp.maximum(10 * jnp.finfo(dtype).eps / rtol,
-                             jnp.minimum(0.03, rtol ** 0.5))
+                             jnp.minimum(0.03, rtol ** 0.5)).astype(f32)
     eps = jnp.finfo(tdtype).eps
 
-    f0 = rhs(t0, y0, t0)
+    pre0 = _prep(t0, t0)
+    f0 = rhs(t0, y0, pre0)
     if first_step is None:
-        h_init = select_initial_step(lambda t, y: rhs(t, y, t0), t0, y0, f0,
+        h_init = select_initial_step(lambda t, y: rhs(t, y, pre0), t0, y0, f0,
                                      tf, rtol, atol)
     else:
         # Traced first_step supports carrying the final h across chunkwise
         # segments (one compiled program); non-finite/<=0 values fall back
         # to the automatic heuristic so the first chunk can pass NaN.
         fs = jnp.asarray(first_step, tdtype)
-        h_auto = select_initial_step(lambda t, y: rhs(t, y, t0), t0, y0, f0,
+        h_auto = select_initial_step(lambda t, y: rhs(t, y, pre0), t0, y0, f0,
                                      tf, rtol, atol)
         ok = jnp.isfinite(fs) & (fs > 0.0)
         h_init = jnp.where(ok, jnp.minimum(fs, jnp.abs(tf - t0)), h_auto)
@@ -275,7 +327,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     if linsolve == "inv":
         lu_dtype = jnp.float32
 
-    J0 = jac(t0, y0, t0)
+    J0 = jac(t0, y0, pre0)
     c0 = h_init / alpha_t[1]
     fact0 = newton_factor(J0, c0.astype(dtype), lu_dtype, method=linsolve)
     lu0, piv0 = fact0.lu, fact0.piv
@@ -299,7 +351,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         stop_ptr=stop_ptr0.astype(jnp.int32),
     )
 
-    def newton_iterate(t_new, t_start, y_pred, c, psi, scale, fact):
+    def newton_iterate(t_new, pre, y_pred, c, psi, scale, fact):
         """Simplified Newton: find d with d = c f(t_new, y_pred + d) - psi."""
         def cond(carry):
             it, converged, diverged = carry[0], carry[1], carry[2]
@@ -307,14 +359,14 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
         def body(carry):
             it, converged, diverged, d, y, dy_norm_old = carry
-            f = rhs(t_new, y, t_start)
+            f = rhs(t_new, y, pre)
             res = c * f - psi - d
             dy = newton_solve(fact, res, refine=refine, method=linsolve)
-            dy_norm = _rms_norm(dy / scale)
+            dy_norm = _scaled_norm(dy, scale)
             rate = jnp.where(it > 0,
                              dy_norm / jnp.maximum(dy_norm_old,
-                                                   jnp.finfo(dtype).tiny),
-                             jnp.asarray(jnp.inf, dtype))
+                                                   jnp.finfo(f32).tiny),
+                             jnp.asarray(jnp.inf, f32))
             # Updates far below the Newton tolerance are converged no matter
             # what the rate estimate says — at that magnitude dy sits on the
             # linear-solve noise floor (f32 LU preconditioning) and the
@@ -332,7 +384,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             return (it + 1, conv, bad & (~conv), d, y, dy_norm)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
-                jnp.zeros_like(y_pred), y_pred, jnp.asarray(0.0, dtype))
+                jnp.zeros_like(y_pred), y_pred, jnp.asarray(0.0, f32))
         it, converged, _, d, y, _ = lax.while_loop(cond, body, init)
         return converged, it, y, d
 
@@ -390,7 +442,9 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # --- predictor ---
         idx = jnp.arange(MAX_ORDER + 3)
         y_pred = jnp.sum(jnp.where((idx <= order)[:, None], D, 0.0), axis=0)
-        scale_pred = atol + rtol * jnp.abs(y_pred)
+        # scale vectors only feed f32 norms — compute them in f32 outright
+        atol32, rtol32 = atol.astype(f32), rtol.astype(f32)
+        scale_pred = atol32 + rtol32 * jnp.abs(y_pred).astype(f32)
         gamma_w = jnp.where((idx >= 1) & (idx <= order),
                             gamma[jnp.minimum(idx, MAX_ORDER)], 0.0)
         psi = (gamma_w @ D) / alpha[order]
@@ -408,7 +462,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         n_lu = s.n_lu + need_lu.astype(jnp.int32)
         fact = NewtonFactors(lu=lu, piv=piv, J=s.J, c=c_state)
 
-        converged, n_it, y_new, d = newton_iterate(t_new, t, y_pred, c_state,
+        pre = _prep(t_new, t)
+        converged, n_it, y_new, d = newton_iterate(t_new, pre, y_pred, c_state,
                                                    psi, scale_pred, fact)
 
         # Newton failed on a stale Jacobian: refresh J and redo the step on
@@ -418,23 +473,24 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # as carried state it costs one extra outer iteration only when a
         # lane actually fails (CVODE structures its retry the same way).
         refresh = (~converged) & (~s.current_jac)
-        J = lax.cond(refresh, lambda: jac(t_new, y_pred, t), lambda: s.J)
+        J = lax.cond(refresh, lambda: jac(t_new, y_pred, pre), lambda: s.J)
         current_jac = s.current_jac | refresh
         n_jev = s.n_jev + refresh.astype(jnp.int32)
         # Force an LU refactor with the fresh J next iteration.
         c_lu_next = jnp.where(refresh, jnp.asarray(-jnp.inf, tdtype), c)
 
-        safety = 0.9 * (2 * NEWTON_MAXITER + 1) / (2 * NEWTON_MAXITER + n_it.astype(dtype))
+        safety = (0.9 * (2 * NEWTON_MAXITER + 1)
+                  / (2 * NEWTON_MAXITER + n_it.astype(f32)))
 
-        # --- error test ---
-        scale = atol + rtol * jnp.abs(y_new)
-        err_norm = _rms_norm((error_const[order] * d) / scale)
+        # --- error test (norms and factors in f32; d itself stays f64) ---
+        scale = atol32 + rtol32 * jnp.abs(y_new).astype(f32)
+        err_norm = _rms_norm(error_const32[order] * d.astype(f32) / scale)
         neg = jnp.asarray(nonnegative) & (jnp.min(y_new) < 0.0)
         accept = converged & (err_norm <= 1.0) & (~neg)
 
         def _safe_factor(factor, fallback=0.5):
             ok = jnp.isfinite(factor) & (factor > 0.0)
-            return jnp.where(ok, factor, jnp.asarray(fallback, dtype))
+            return jnp.where(ok, factor, jnp.asarray(fallback, f32))
 
         # ---- flattened outcome merge ----
         # Under vmap, lax.cond lowers to select-with-both-branches, so a
@@ -468,31 +524,30 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         hit_stop = jnp.abs(t_new - next_stop) <= 4 * eps * tspan_scale
 
         def adapt():
-            od = order.astype(dtype)
+            od = order.astype(f32)
             err_m = jnp.where(
                 order > 1,
-                _rms_norm((error_const[jnp.maximum(order - 1, 0)] * D2[order]) / scale),
-                jnp.asarray(jnp.inf, dtype))
+                _rms_norm(error_const32[jnp.maximum(order - 1, 0)]
+                          * D2[order].astype(f32) / scale),
+                jnp.asarray(jnp.inf, f32))
             err_p = jnp.where(
                 order < MAX_ORDER,
-                _rms_norm((error_const[jnp.minimum(order + 1, MAX_ORDER)]
-                           * D2[order + 2]) / scale),
-                jnp.asarray(jnp.inf, dtype))
+                _rms_norm(error_const32[jnp.minimum(order + 1, MAX_ORDER)]
+                          * D2[order + 2].astype(f32) / scale),
+                jnp.asarray(jnp.inf, f32))
 
-            # err ** (-1/q) with guards: TPU's emulated f64 pow returns
-            # NaN for inf bases (CPU returns 0), which froze the step
-            # size permanently; clip the base and resolve the 0/inf
-            # cases with selects instead.
+            # err ** (-1/q) with guards: TPU's emulated pow returns NaN
+            # for inf bases (CPU returns 0), which froze the step size
+            # permanently; clip the base and resolve the 0/inf cases with
+            # selects instead.
             def err_factor(err, inv_q):
-                # guard bounds must be representable in the solve dtype
-                # (1e300 overflows f32 to inf and defeats the guard)
-                fi = jnp.finfo(dtype)
-                base = jnp.clip(err, jnp.asarray(fi.tiny * 1e3, dtype),
-                                jnp.asarray(fi.max / 1e3, dtype))
+                fi = jnp.finfo(f32)
+                base = jnp.clip(err, jnp.asarray(fi.tiny * 1e3, f32),
+                                jnp.asarray(fi.max / 1e3, f32))
                 f = base ** (-inv_q)
-                f = jnp.where(err <= 0.0, jnp.asarray(MAX_FACTOR, dtype), f)
+                f = jnp.where(err <= 0.0, jnp.asarray(MAX_FACTOR, f32), f)
                 return jnp.where(jnp.isfinite(err), f,
-                                 jnp.asarray(0.0, dtype))
+                                 jnp.asarray(0.0, f32))
 
             f_m = err_factor(err_m, 1.0 / od)
             f_0 = err_factor(err_norm, 1.0 / (od + 1))
@@ -505,11 +560,12 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
         do_adapt = (n_eq_acc >= order + 1) & (~clamp)
         new_order, factor_acc = lax.cond(
-            do_adapt, adapt, lambda: (order, jnp.asarray(1.0, dtype)))
+            do_adapt, adapt, lambda: (order, jnp.asarray(1.0, f32)))
         # After a clamped (stop/tf-hitting) step, restore the pre-clamp h
         # (capped: an uncapped restore from a sliver step would scale the
         # high-order differences by factor**order and overflow them).
-        factor_acc = jnp.where(clamp, jnp.minimum(h_pre / h, MAX_FACTOR),
+        factor_acc = jnp.where(clamp,
+                               jnp.minimum(h_pre / h, MAX_FACTOR).astype(f32),
                                factor_acc)
         factor_acc = _safe_factor(factor_acc, 1.0)
         # CVODE-style growth limiter: after a Newton failure at larger h,
@@ -522,10 +578,10 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         rescale_acc = clamp | do_adapt
 
         # error-reject factor
-        od = order.astype(dtype)
+        od = order.astype(f32)
         factor_rej = _safe_factor(jnp.clip(safety * err_norm ** (-1.0 / (od + 1)),
                                            MIN_FACTOR, 1.0), MIN_FACTOR)
-        factor_rej = jnp.where(neg, jnp.minimum(factor_rej, jnp.asarray(0.5, dtype)),
+        factor_rej = jnp.where(neg, jnp.minimum(factor_rej, jnp.asarray(0.5, f32)),
                                factor_rej)
 
         # outcome flags: accept | error-reject | jac-refresh | newton-fail

@@ -61,7 +61,9 @@ def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
     """
     dtype = J.dtype
     ns = J.shape[0]
-    A = jnp.eye(ns, dtype=dtype) - c * J
+    # honour J's dtype: an f32 Jacobian (jac_dtype="float32") must not be
+    # promoted back to f64 by the scalar c under x64 semantics
+    A = jnp.eye(ns, dtype=dtype) - jnp.asarray(c, dtype) * J
     if method == "inv":
         minv = gj_inverse(A)
         return NewtonFactors(lu=minv, piv=jnp.zeros((ns,), jnp.int32),
@@ -86,7 +88,14 @@ def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
     dy = solve32(b)
     if lu_dtype == dtype and method != "inv":
         return dy
+    jdt = f.J.dtype
+    c = jnp.asarray(f.c, dtype)
     for _ in range(refine):
-        r = b - (dy - f.c * (f.J @ dy))
+        # the J matvec runs in J's own dtype (f32 when jac_dtype="float32"
+        # — J is a preconditioner; the Newton fixed point is anchored by
+        # the f64 rhs residual, so refinement only needs to *approximate*
+        # (I - cJ)^-1 well, not reproduce it to f64)
+        Jdy = (f.J @ dy.astype(jdt)).astype(dtype)
+        r = b - (dy - c * Jdy)
         dy = dy + solve32(r)
     return dy

@@ -24,10 +24,10 @@ import numpy as np
 
 from ..conditions.condition_set import ConditionSet
 from ..core.network import RxData, SpeciesData
-from ..models.mass_action import build_mass_action
+from ..models.mass_action import MassActionNetwork, build_mass_action
 from ..ops import bdf
 from ..solving.methods import (VariableODESolve, _chunk_local_stops,
-                               _chunk_save_grid, _make_rhs_jac)
+                               _chunk_save_grid, _jac_dtype, _make_rhs_jac)
 from ..solving.solutions import EnsembleSolution, retcode_from_status
 from ..solving.solve_utils import calculate_discrete_rates, make_u0
 from ..utils.logging import logger
@@ -149,8 +149,13 @@ class EnsembleProblem:
 
         self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
         self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
+        jdt = _jac_dtype(pars)
+        jac_net = (MassActionNetwork(self.net.reac_slots,
+                                     self.net.N.astype(jdt))
+                   if jdt != self.dtype else None)
         if rate_mode == "discrete":
-            self.rhs, self.jac = _make_rhs_jac(self.net, "discrete")
+            self.rhs, self.jac, self.prepare = _make_rhs_jac(
+                self.net, "discrete", jac_net=jac_net)
             payload_axes = (None, 0)   # (shared tstops, per-member k table)
             stops_axes = None          # shared stop grid
         else:
@@ -166,8 +171,8 @@ class EnsembleProblem:
                          for sym, (cls, sv) in classes.items()}
                 return calc(**bound)
 
-            self.rhs, self.jac = _make_rhs_jac(self.net, "continuous_theta",
-                                               k_fn=k_fn)
+            self.rhs, self.jac, self.prepare = _make_rhs_jac(
+                self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net)
             payload_axes = 0           # per-member theta dict
             stops_axes = 0             # per-member profile-kink stops
         self.chunkstep = pars.solve_chunkstep
@@ -178,7 +183,7 @@ class EnsembleProblem:
 
         pars_ref = pars
         chunkstep = self.chunkstep
-        rhs, jac = self.rhs, self.jac
+        rhs, jac, prepare = self.rhs, self.jac, self.prepare
         saveat_j = self._saveat_j
         chunk_ids = self._chunk_ids
 
@@ -193,7 +198,7 @@ class EnsembleProblem:
                     nonnegative=pars_ref.ban_negatives,
                     nonnegative_project=pars_ref.project_negatives,
                     lu_precision=pars_ref.lu_precision,
-                    first_step=h_prev,
+                    first_step=h_prev, prepare=prepare,
                     args=(nc * chunkstep, payload))
                 return (res.y_final, jnp.minimum(worst, res.status),
                         res.h), res.ys
@@ -216,7 +221,7 @@ class EnsembleProblem:
                 nonnegative=pars_ref.ban_negatives,
                 nonnegative_project=pars_ref.project_negatives,
                 lu_precision=pars_ref.lu_precision,
-                first_step=h_prev,
+                first_step=h_prev, prepare=prepare,
                 args=(nc * chunkstep, payload))
             return res.y_final, res.h, res.status, res.ys
 

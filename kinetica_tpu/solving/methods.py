@@ -102,6 +102,7 @@ class KineticIntegrator:
     args: object
     pars: ODESimulationParams
     stops: np.ndarray | None
+    prepare: object = None
 
     def solve_segment(self, t0, tf, saveat, rtol=None, atol=None):
         return bdf.bdf_solve(
@@ -113,6 +114,7 @@ class KineticIntegrator:
             nonnegative=self.pars.ban_negatives,
             nonnegative_project=self.pars.project_negatives,
             lu_precision=self.pars.lu_precision,
+            prepare=self.prepare,
             args=self.args)
 
 
@@ -124,48 +126,68 @@ class KineticIntegrator:
 #   continuous_theta: payload = per-member profile theta dict
 # ---------------------------------------------------------------------------
 
-def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None):
-    if mode == "static":
-        def rhs(t, u, a):
-            return net.rhs(u, a[1])
+def _jac_dtype(pars: ODESimulationParams | None = None):
+    """Dtype the Newton Jacobian is evaluated in.
 
-        def jac(t, u, a):
-            return net.jac(u, a[1])
+    "auto" resolves to f32 on accelerators: J is only a preconditioner (the
+    Newton fixed point is anchored by the f64 rhs residual; the f32 factor
+    + refinement path in ops/linalg.py already tolerates f32-level factor
+    error), while f64 elementwise emulation on TPU is ~12x slower. CPU
+    keeps the full-precision Jacobian.
+    """
+    choice = getattr(pars, "jac_dtype", "auto") if pars is not None else "auto"
+    if choice == "auto":
+        return (jnp.float32 if jax.default_backend() != "cpu"
+                else jnp.float64)
+    return jnp.float64 if choice == "float64" else jnp.float32
+
+
+def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None):
+    """Build ``(rhs, jac, prepare)`` for :func:`bdf.bdf_solve`.
+
+    ``prepare(t_stage, t_start, args)`` evaluates the rate-constant vector
+    ONCE per step attempt (it depends only on time, which is fixed across
+    the Newton iterations of BDF's single implicit stage); ``rhs``/``jac``
+    receive it as their third argument. Discrete-mode k is looked up at the
+    *step start* (the reference's update callbacks fire at a tstop and
+    affect subsequent steps only, solve_utils.jl:488-509); continuous
+    profiles see the implicit stage time.
+
+    ``jac_net`` optionally supplies a reduced-precision network for the
+    Jacobian (see :func:`_jac_dtype`).
+    """
+    jnet = jac_net if jac_net is not None else net
+    jdt = jnet.N.dtype
+
+    if mode == "static":
+        def prepare(t_stage, t_start, a):
+            return a[1]
     elif mode == "discrete":
-        # k is looked up at the *step start* time (4-arg integrator
-        # convention): the step ending exactly at a tstop still uses the
-        # pre-jump k, and the next step (starting at the stop) picks up the
-        # new value — exact parity with the reference's update callbacks.
-        def _k(a, t_start):
+        def prepare(t_stage, t_start, a):
             tstops, ktab = a[1]
             return left_constant_lookup(t_start + a[0], tstops, ktab)
-
-        def rhs(t, u, a, t_start):
-            return net.rhs(u, _k(a, t_start))
-
-        def jac(t, u, a, t_start):
-            return net.jac(u, _k(a, t_start))
     elif mode == "continuous":
-        def rhs(t, u, a):
-            return net.rhs(u, k_fn(t + a[0]))
-
-        def jac(t, u, a):
-            return net.jac(u, k_fn(t + a[0]))
+        def prepare(t_stage, t_start, a):
+            return k_fn(t_stage + a[0])
     elif mode == "continuous_theta":
         # batched continuous: profiles evaluated from per-member theta
         # vectors threaded through args (parallel.batching builds k_fn)
-        def rhs(t, u, a):
-            return net.rhs(u, k_fn(t + a[0], a[1]))
-
-        def jac(t, u, a):
-            return net.jac(u, k_fn(t + a[0], a[1]))
+        def prepare(t_stage, t_start, a):
+            return k_fn(t_stage + a[0], a[1])
     else:  # pragma: no cover
         raise ValueError(mode)
-    return rhs, jac
+
+    def rhs(t, u, k):
+        return net.rhs(u, k)
+
+    def jac(t, u, k):
+        return jnet.jac(u.astype(jdt), k.astype(jdt))
+
+    return rhs, jac, prepare
 
 
 def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
-               rtol, atol, stops, args, first_step=None):
+               rtol, atol, stops, args, first_step=None, prepare=None):
     """Dispatch to the selected on-TPU integrator (pars.solver).
 
     ``first_step`` may be a traced scalar (NaN = auto): the chunkwise
@@ -174,8 +196,11 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
     (methods.jl:819). The returned dict includes ``h`` for that carry.
     """
     if pars.solver == "rk45":
+        # explicit stages evaluate at distinct times: fold prepare back in
+        rhs_rk = (rhs if prepare is None else
+                  (lambda t, y, a, t_start: rhs(t, y, prepare(t, t_start, a))))
         res = rk45.rk45_solve(
-            rhs, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
+            rhs_rk, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
             max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
             args=args)
         return res.status, res.ys, res.y_final, {
@@ -185,7 +210,8 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
         rhs, jac, u0, t0, tf, saveat, rtol=rtol, atol=atol, stops=stops,
         max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
         nonnegative_project=pars.project_negatives,
-        lu_precision=pars.lu_precision, first_step=first_step, args=args)
+        lu_precision=pars.lu_precision, first_step=first_step,
+        prepare=prepare, args=args)
     return res.status, res.ys, res.y_final, {
         "n_steps": res.n_steps, "n_accepted": res.n_accepted,
         "n_rejected": res.n_rejected, "n_fev": res.n_fev,
@@ -282,7 +308,7 @@ def _chunk_local_stops(global_stops: np.ndarray, n_chunks: int,
 
 
 def _run_complete(rhs, jac, u0, pars: ODESimulationParams, saveat: np.ndarray,
-                  stops: np.ndarray | None, args_payload):
+                  stops: np.ndarray | None, args_payload, prepare=None):
     """Single whole-tspan device solve with adaptive-tolerance retries."""
     t0, tf = pars.tspan
     saveat_inner = jnp.asarray(saveat[saveat > t0 + 0.0])
@@ -292,7 +318,7 @@ def _run_complete(rhs, jac, u0, pars: ODESimulationParams, saveat: np.ndarray,
     def solve_fn(abstol, reltol):
         status, ys, y_final, st = _integrate(
             pars, rhs, jac, u0, t0, tf, saveat_inner, reltol, abstol,
-            stops_j, (zero, args_payload))
+            stops_j, (zero, args_payload), prepare=prepare)
         return status, (ys, st)
 
     status, (ys_dev, st), attempts = _adaptive_device_solve(solve_fn, pars)
@@ -304,7 +330,8 @@ def _run_complete(rhs, jac, u0, pars: ODESimulationParams, saveat: np.ndarray,
 
 
 def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
-                   global_stops: np.ndarray | None, args_payload):
+                   global_stops: np.ndarray | None, args_payload,
+                   prepare=None):
     """lax.scan over local-time chunks (the reference's chunk loop,
     methods.jl:796-847, as one device computation)."""
     chunkstep = pars.solve_chunkstep
@@ -331,7 +358,8 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
             nc, stops_row = xs
             status, ys, y_final, stats = _integrate(
                 pars, rhs, jac, u, 0.0, chunkstep, saveat_j, reltol, abstol,
-                stops_row, (nc * chunkstep, payload), first_step=h_prev)
+                stops_row, (nc * chunkstep, payload), first_step=h_prev,
+                prepare=prepare)
             worst = jnp.minimum(worst, status)
             if pars.progress:
                 # structured progress (reference uses ProgressLogging bars,
@@ -434,6 +462,9 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
 
     dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
     net = build_mass_action(rd_active, sd_active.n, dtype=dtype)
+    jdt = _jac_dtype(pars)
+    jac_net = (MassActionNetwork(net.reac_slots, net.N.astype(jdt))
+               if jdt != dtype else None)
     u0 = jnp.asarray(make_u0(sd_active, pars), dtype=dtype)
 
     update_mode = ("discrete" if (is_variable and conditions.discrete_updates)
@@ -443,20 +474,21 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
     k_series = None
     if update_mode == "static":
         k_vec = jnp.asarray(get_initial_rates(conditions, calc), dtype=dtype)
-        rhs, jac = _make_rhs_jac(net, "static")
+        rhs, jac, prepare = _make_rhs_jac(net, "static", jac_net=jac_net)
         payload = k_vec
         global_stops = None
     elif update_mode == "discrete":
         logger.info(" - Pre-calculating rate constants at discrete time intervals.")
         with timed("solve.rate_precalc"):
             tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
-        rhs, jac = _make_rhs_jac(net, "discrete")
+        rhs, jac, prepare = _make_rhs_jac(net, "discrete", jac_net=jac_net)
         payload = (jnp.asarray(tstops, dtype=dtype), jnp.asarray(k_table, dtype=dtype))
         global_stops = tstops
         k_series = TimeSeries(tstops, k_table)
     else:
         k_fn = _make_continuous_k_fn(conditions, calc)
-        rhs, jac = _make_rhs_jac(net, "continuous", k_fn=k_fn)
+        rhs, jac, prepare = _make_rhs_jac(net, "continuous", k_fn=k_fn,
+                                          jac_net=jac_net)
         payload = None
         global_stops = np.asarray(conditions.get_tstops())
 
@@ -464,16 +496,19 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
         logger.info(" - Returning integrator early.")
         return KineticIntegrator(rhs=rhs, jac=jac, net=net, u0=u0,
                                  args=(jnp.asarray(0.0, dtype), payload),
-                                 pars=pars, stops=global_stops)
+                                 pars=pars, stops=global_stops,
+                                 prepare=prepare)
 
     logger.info(" - Solving network...")
     if pars.solve_chunks:
         ts, ys, status, stats = _run_chunkwise(rhs, jac, u0, pars,
-                                               global_stops, payload)
+                                               global_stops, payload,
+                                               prepare=prepare)
     else:
         saveat = _complete_saveat(pars)
         ts, ys, status, stats = _run_complete(rhs, jac, u0, pars, saveat,
-                                              global_stops, payload)
+                                              global_stops, payload,
+                                              prepare=prepare)
     logger.info(" - Solved.")
 
     # --- variable-condition traces at the save times (ODESolutionVC parity) ---

@@ -41,6 +41,9 @@ class ODESimulationParams:
     # TPU-specific extensions (no reference equivalent):
     dtype: str = "float64"                      # solve precision policy
     lu_precision: str = "mixed"                 # "mixed" f32-LU+refinement | "full"
+    jac_dtype: str = "auto"                     # Newton-Jacobian precision:
+    #   "auto" = f32 on accelerators (J is a preconditioner; f64 emulation
+    #   is ~12x slower on TPU), f64 on CPU | "float32" | "float64"
     chunks_per_dispatch: int | None = None      # None = auto (all on CPU, 32 on TPU)
 
     def __post_init__(self):
@@ -74,3 +77,7 @@ class ODESimulationParams:
 
         if self.chunks_per_dispatch is not None and self.chunks_per_dispatch < 1:
             raise ValueError("chunks_per_dispatch must be a positive integer")
+
+        if self.jac_dtype not in ("auto", "float32", "float64"):
+            raise ValueError(
+                "jac_dtype must be one of ['auto', 'float32', 'float64']")

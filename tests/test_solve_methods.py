@@ -285,3 +285,32 @@ def test_nonnegative_projection_is_kinetics_only():
     assert int(res.status) == bdf.DONE
     np.testing.assert_allclose(np.asarray(res.ys[0]),
                                [-np.exp(-1.0), np.exp(-1.0)], atol=1e-7)
+
+
+def test_jac_dtype_float32_matches_full_precision():
+    """jac_dtype='float32' (the accelerator default) must not change the
+    converged solution beyond tolerance: J is only a Newton preconditioner;
+    the fixed point is anchored by the f64 rhs residual."""
+    from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    conditions = ConditionSet(
+        {"T": LinearGradientProfile(rate=100.0, X_start=600.0, X_end=1100.0)},
+        ts_update=0.25)
+    tf = conditions.get_t_final()
+    results = []
+    for jd in ("float64", "float32"):
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C6": 1.0},
+                                   solve_chunks=True, solve_chunkstep=tf / 10,
+                                   low_k_cutoff="none", jac_dtype=jd)
+        res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
+        assert res.sol.success
+        results.append(np.asarray(res.sol.u))
+    # same tolerances, same model; only the preconditioner differs
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6, atol=1e-9)
+
+
+def test_jac_dtype_validation():
+    with pytest.raises(ValueError, match="jac_dtype"):
+        ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0}, jac_dtype="f16")
