@@ -34,7 +34,16 @@ from ..core.network import RxData
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class MassActionNetwork:
-    """Padded dense arrays describing mass-action kinetics of one CRN."""
+    """Padded dense arrays describing mass-action kinetics of one CRN.
+
+    Contraction-form note (measured on TPU v5e, 64-member vmapped sweep of
+    the 603-reaction CRN): the f64 RHS contraction ``r @ N`` is fastest as
+    the plain dense dot. XLA emulates the f64 ``dot_general`` with an
+    8x4-way f32 splitting through the MXU (389 ms/profile end-to-end);
+    sparse alternatives lose — a segment-sum/scatter formulation
+    serialises under vmap (1432 ms/profile) and a per-species gather +
+    masked-sum runs off the MXU entirely (733 ms/profile). Keep the dot.
+    """
     reac_slots: jnp.ndarray  # (nr, arity) int32 into u_aug (ns == constant-1 slot)
     N: jnp.ndarray           # (nr, ns) net stoichiometry
 
@@ -77,7 +86,8 @@ class MassActionNetwork:
         return k * prods
 
     def rhs(self, u: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-        """du/dt = N^T r — one matvec on the MXU."""
+        """du/dt = N^T r — one matvec on the MXU (see class docstring for
+        why the dense dot beats sparse formulations even in emulated f64)."""
         r = self.rates(u, k)
         return r @ self.N
 

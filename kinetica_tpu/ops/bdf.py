@@ -150,7 +150,11 @@ def _change_D(D, order, factor):
     idx = jnp.arange(MAX_ORDER + 1)
     active = (idx[:, None] <= order) & (idx[None, :] <= order)
     RU_m = jnp.where(active, RU, jnp.eye(MAX_ORDER + 1, dtype=dtype))
-    return D.at[: MAX_ORDER + 1].set(RU_m.T @ D[: MAX_ORDER + 1])
+    # contract as broadcast+sum, not dot: f64 dot_general on TPU lowers to
+    # a many-way f32 splitting emulation far costlier than these 6x6x-ns
+    # elementwise ops
+    Dn = jnp.sum(RU_m.T[:, :, None] * D[None, : MAX_ORDER + 1], axis=1)
+    return D.at[: MAX_ORDER + 1].set(Dn)
 
 
 def _bdf_constants(dtype):
@@ -399,7 +403,9 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             x = (tq - t_shift) / denom
             p = jnp.cumprod(x)
             p = jnp.where(jnp.arange(MAX_ORDER) < order, p, 0.0)
-            return D[0] + p.astype(dtype) @ D[1: MAX_ORDER + 1]
+            # broadcast+sum instead of an f64 dot (see _change_D comment)
+            return D[0] + jnp.sum(p.astype(dtype)[:, None]
+                                  * D[1: MAX_ORDER + 1], axis=0)
 
         def cond(carry):
             ptr, _ = carry
@@ -447,7 +453,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         scale_pred = atol32 + rtol32 * jnp.abs(y_pred).astype(f32)
         gamma_w = jnp.where((idx >= 1) & (idx <= order),
                             gamma[jnp.minimum(idx, MAX_ORDER)], 0.0)
-        psi = (gamma_w @ D) / alpha[order]
+        psi = jnp.sum(gamma_w[:, None] * D, axis=0) / alpha[order]
         c = h / alpha_t[order]          # time dtype (h may be < f32 tiny)
         c_state = c.astype(dtype)       # state-dtype copy for Newton algebra
 
