@@ -53,6 +53,9 @@ def __getattr__(name):
         "save_output": "kinetica_tpu.analysis.io",
         "load_output": "kinetica_tpu.analysis.io",
         "EnsembleProblem": "kinetica_tpu.parallel.batching",
+        "SensitivityProblem": "kinetica_tpu.solving.sensitivity",
+        "solve_network_sensitivities": "kinetica_tpu.solving.sensitivity",
+        "rank_reactions": "kinetica_tpu.solving.sensitivity",
         "solve_network_ensemble": "kinetica_tpu.parallel.batching",
         "tconvert": "kinetica_tpu.utils",
         "create_savepoints": "kinetica_tpu.utils",

@@ -177,14 +177,31 @@ def _gj_inverse_vmap_rule(axis_size, in_batched, A):
     return out.reshape(lead + (n, n)), in_batched[0]
 
 
+@jax.custom_jvp
+def _gj_inverse_diff(A: jnp.ndarray) -> jnp.ndarray:
+    return _gj_inverse_f32(A)
+
+
+@_gj_inverse_diff.defjvp
+def _gj_inverse_jvp(primals, tangents):
+    """d(A^-1) = -A^-1 dA A^-1 — makes forward-sensitivity solves
+    (jax.jacfwd through the BDF Newton loop) work on the TPU Pallas path;
+    a pallas_call has no JVP rule of its own."""
+    (A,), (dA,) = primals, tangents
+    Minv = _gj_inverse_diff(A)
+    dMinv = -(Minv @ dA.astype(Minv.dtype) @ Minv)
+    return Minv, dMinv
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gj_inverse(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Explicit f32 inverse of a square matrix via one Pallas launch.
 
     ``A`` is (n, n) with n <= 128; any dtype (cast to f32). Returns the
     (n, n) f32 inverse. Under vmap the batch is vectorized inside the
-    kernel (lockstep elimination) through a custom_vmap rule.
+    kernel (lockstep elimination) through a custom_vmap rule; under
+    forward-mode autodiff the analytic inverse differential is used.
     """
     if interpret:
         return _gj_call(A[None], interpret=True)[0]
-    return _gj_inverse_f32(A)
+    return _gj_inverse_diff(A)

@@ -1,0 +1,87 @@
+"""Forward-sensitivity solves: jacfwd through the chunkwise BDF program.
+
+Validated against central finite differences of independent full solves —
+the gold standard for discrete sensitivities.
+"""
+import numpy as np
+import pytest
+
+from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+from kinetica_tpu.conditions.condition_set import ConditionSet
+from kinetica_tpu.conditions.profiles import LinearGradientProfile
+from kinetica_tpu.solving.methods import (StaticODESolve, VariableODESolve,
+                                          solve_network)
+from kinetica_tpu.solving.params import ODESimulationParams
+from kinetica_tpu.solving.sensitivity import (SensitivityProblem,
+                                              rank_reactions,
+                                              solve_network_sensitivities)
+from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+
+def make_problem(nc=6, variable=True):
+    sd, rd, Ea, A = synthetic_pyrolysis_network(nc)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    if variable:
+        conditions = ConditionSet(
+            {"T": LinearGradientProfile(rate=100.0, X_start=700.0,
+                                        X_end=1100.0)},
+            ts_update=0.5)
+        tf = conditions.get_t_final()
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={f"C{nc}": 1.0},
+                                   solve_chunks=True, solve_chunkstep=tf / 8,
+                                   low_k_cutoff="none")
+        method = VariableODESolve(pars, conditions, calc)
+    else:
+        conditions = ConditionSet({"T": 900.0})
+        pars = ODESimulationParams(tspan=(0.0, 2.0), u0={f"C{nc}": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.25,
+                                   low_k_cutoff="none")
+        method = StaticODESolve(pars, conditions, calc)
+    return sd, rd, calc, conditions, pars, method
+
+
+class TestForwardSensitivity:
+    @pytest.mark.parametrize("variable", [True, False])
+    def test_matches_finite_differences(self, variable):
+        import jax.numpy as jnp
+
+        sd, rd, calc, conditions, pars, method = make_problem(variable=variable)
+        rids = [0, 3, 7]
+        prob = SensitivityProblem(method, sd, rd, rids=rids)
+        sens = prob.solve()
+        assert sens.u.shape[0] == sens.t.shape[0]
+        assert sens.S.shape == sens.u.shape + (len(rids),)
+
+        # central finite differences of the SAME theta-parameterised solve
+        # (k_j -> k_j e^theta_j on the precomputed, k_max-capped table) —
+        # isolates differentiation correctness from calculator details
+        eps = 1e-4
+        for col, rid in enumerate(rids):
+            us = []
+            for sign in (+1, -1):
+                theta = np.zeros(len(rids))
+                theta[col] = sign * eps
+                ys = prob._solve_theta(jnp.asarray(theta), prob._ktab,
+                                       prob._u0)
+                us.append(np.asarray(ys))
+            fd = (us[0] - us[1]) / (2 * eps)
+            scale = np.abs(sens.S[1:, :, col]).max() + 1e-12
+            err = np.abs(sens.S[1:, :, col] - fd).max() / scale
+            assert err < 5e-3, (rid, err)
+
+    def test_rank_reactions(self):
+        sd, rd, calc, conditions, pars, method = make_problem()
+        sens = solve_network_sensitivities(method, sd, rd)
+        ranked = rank_reactions(sens, sd, rd, top_n=5)
+        assert len(ranked) == 5
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
+        assert scores[0] > 0
+        # restricting to the feed species still works
+        ranked_sp = rank_reactions(sens, sd, rd, species="C6", top_n=3)
+        assert len(ranked_sp) == 3
+
+    def test_rid_validation(self):
+        sd, rd, calc, conditions, pars, method = make_problem()
+        with pytest.raises(ValueError, match="rids"):
+            SensitivityProblem(method, sd, rd, rids=[rd.nr + 5])
