@@ -15,6 +15,14 @@ chemistry.
 """
 import os
 import sys
+
+# Allow running straight from a source checkout: `python examples/<name>.py`
+# (appends, never replaces, so environment sitecustomize paths survive)
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+os.environ["PYTHONPATH"] = (
+    _repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
 import tempfile
 
 import numpy as np

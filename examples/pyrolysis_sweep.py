@@ -8,7 +8,16 @@ reference leaves to the user, docs/src/tutorials/ode-solution.md:190).
 
     python examples/pyrolysis_sweep.py [batch]
 """
+import os
 import sys
+
+# Allow running straight from a source checkout: `python examples/<name>.py`
+# (appends, never replaces, so environment sitecustomize paths survive)
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+os.environ["PYTHONPATH"] = (
+    _repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
 import time
 
 import numpy as np
