@@ -516,13 +516,22 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # tiny h; with it they land exactly on 0 and stay until produced.
         d_proj = jnp.where(nonnegative_project,
                            jnp.maximum(y_new, 0.0) - y_pred, d)
-        D2 = D.at[order + 2].set(d_proj - D[order + 1])
-        D2 = D2.at[order + 1].set(d_proj)
-
-        def cascade_body(i, Dc):
-            j = order - i
-            return Dc.at[j].add(Dc[j + 1])
-        D2 = lax.fori_loop(0, order + 1, cascade_body, D2)
+        # Difference-array update, as mask arithmetic instead of dynamic
+        # row indexing. The reference recursion
+        #   D[order+2] = d - D[order+1];  D[order+1] = d
+        #   for j = order..0: D[j] += D[j+1]
+        # telescopes to suffix sums D_new[j] = sum_{m=j}^{order+1} D_mid[m]
+        # for j <= order — one reversed cumsum — where sequential
+        # dynamic_update_slice rows cost ~90 us each on TPU (~0.8 ms/step
+        # of pure row-update kernels at order 5).
+        rowm = idx[:, None]
+        selq = (idx == order + 1)[:, None]
+        Dq1 = jnp.sum(jnp.where(selq, D, 0.0), axis=0)   # D[order+1]
+        D_mid = jnp.where(selq, d_proj,
+                          jnp.where(rowm == order + 2, d_proj - Dq1, D))
+        contrib = jnp.where(rowm <= order + 1, D_mid, 0.0)
+        suffix = jnp.cumsum(contrib[::-1], axis=0)[::-1]
+        D2 = jnp.where(rowm <= order, suffix, D_mid)
 
         save_ptr2, ys2 = fill_saveat(t_new, h, order, D2, s.save_ptr, s.ys)
 
