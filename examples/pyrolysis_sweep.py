@@ -11,13 +11,16 @@ reference leaves to the user, docs/src/tutorials/ode-solution.md:190).
 import os
 import sys
 
-# Allow running straight from a source checkout: `python examples/<name>.py`
-# (appends, never replaces, so environment sitecustomize paths survive)
+# Allow running straight from a source checkout ("python examples/...").
+# The checkout is deliberately PREPENDED so it wins over any installed
+# copy; existing PYTHONPATH entries (e.g. environment sitecustomize
+# paths) are preserved, with no empty entries introduced.
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo not in sys.path:
     sys.path.insert(0, _repo)
-os.environ["PYTHONPATH"] = (
-    _repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_repo] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+               if p])
 import time
 
 import numpy as np

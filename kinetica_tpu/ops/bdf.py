@@ -448,9 +448,17 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # --- predictor ---
         idx = jnp.arange(MAX_ORDER + 3)
         y_pred = jnp.sum(jnp.where((idx <= order)[:, None], D, 0.0), axis=0)
-        # scale vectors only feed f32 norms — compute them in f32 outright
+        # scale vectors only feed f32 norms — compute them in f32, with the
+        # magnitude clamped below f32-max so transiently diverging lanes
+        # keep a finite scale (inf scale would zero the error norm and
+        # spuriously ACCEPT the blown-up step)
         atol32, rtol32 = atol.astype(f32), rtol.astype(f32)
-        scale_pred = atol32 + rtol32 * jnp.abs(y_pred).astype(f32)
+
+        def _scale32(y):
+            ab = jnp.minimum(jnp.abs(y), 1e37).astype(f32)
+            return atol32 + rtol32 * ab
+
+        scale_pred = _scale32(y_pred)
         gamma_w = jnp.where((idx >= 1) & (idx <= order),
                             gamma[jnp.minimum(idx, MAX_ORDER)], 0.0)
         psi = jnp.sum(gamma_w[:, None] * D, axis=0) / alpha[order]
@@ -489,7 +497,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                   / (2 * NEWTON_MAXITER + n_it.astype(f32)))
 
         # --- error test (norms and factors in f32; d itself stays f64) ---
-        scale = atol32 + rtol32 * jnp.abs(y_new).astype(f32)
+        scale = _scale32(y_new)
         err_norm = _rms_norm(error_const32[order] * d.astype(f32) / scale)
         neg = jnp.asarray(nonnegative) & (jnp.min(y_new) < 0.0)
         accept = converged & (err_norm <= 1.0) & (~neg)

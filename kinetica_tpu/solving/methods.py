@@ -137,8 +137,11 @@ def _jac_dtype(pars: ODESimulationParams | None = None):
     """
     choice = getattr(pars, "jac_dtype", "auto") if pars is not None else "auto"
     if choice == "auto":
-        return (jnp.float32 if jax.default_backend() != "cpu"
-                else jnp.float64)
+        if jax.default_backend() != "cpu":
+            return jnp.float32
+        # CPU: match the solve precision (never silently upcast f32 solves)
+        solve_dtype = getattr(pars, "dtype", "float64") if pars else "float64"
+        return jnp.float64 if solve_dtype == "float64" else jnp.float32
     return jnp.float64 if choice == "float64" else jnp.float32
 
 

@@ -25,6 +25,7 @@ the continuous sensitivities to ~sqrt(rtol).
 """
 from __future__ import annotations
 
+import copy
 from dataclasses import dataclass
 
 import jax
@@ -36,17 +37,24 @@ from ..models.mass_action import build_mass_action
 from ..ops import bdf
 from .methods import (AbstractODESolveMethod, StaticODESolve, VariableODESolve,
                       _chunk_local_stops, _chunk_save_grid, _make_rhs_jac)
-from .solve_utils import calculate_discrete_rates, get_initial_rates, make_u0
+from .solve_utils import (apply_low_k_cutoff, calculate_discrete_rates,
+                          get_initial_rates, make_u0)
 from ..utils.logging import logger
 
 
 @dataclass
 class SensitivitySolution:
-    """t (nt,), u (nt, ns), S (nt, ns, n_params), rids (n_params,)."""
+    """t (nt,), u (nt, ns), S (nt, ns, n_params), rids (n_params,).
+
+    ``rd`` is the network snapshot the solve actually ran on (after
+    filtering and the low-k cutoff) — ``rids`` index INTO IT, so use it
+    (not the original network) when printing/ranking reactions.
+    """
     t: np.ndarray
     u: np.ndarray
     S: np.ndarray
     rids: np.ndarray
+    rd: RxData = None
 
     def species_sensitivity(self, sd: SpeciesData, smi: str) -> np.ndarray:
         """(nt, n_params) log-sensitivities of one species' trajectory."""
@@ -65,15 +73,28 @@ class SensitivityProblem:
     def __init__(self, method: AbstractODESolveMethod, sd: SpeciesData,
                  rd: RxData, rids=None):
         pars = method.pars
-        calc = method.calculator
+        # never mutate the caller's calculator: solve_network splices it in
+        # place, so a shared instance would desynchronise from our network
+        calc = copy.deepcopy(method.calculator)
         self.method = method
         self.sd, self.rd = sd.copy(), rd.copy()
+
+        is_variable = isinstance(method, VariableODESolve)
+        if is_variable and not method.conditions.discrete_updates:
+            raise ValueError(
+                "Sensitivity solves use the discrete-rate formalism: build "
+                "the ConditionSet with ts_update=... (continuous-only "
+                "condition sets are not supported here)")
+
         mask = method.filter.get_filter_mask(self.sd, self.rd)
         ids = list(np.flatnonzero(mask))
         self.rd.splice(ids)
         if ids:
             calc.splice(ids)
         calc.setup_network(self.sd, self.rd)
+        # match solve_network's preprocessing exactly so u/S correspond to
+        # the production solve (same network, same reaction indexing)
+        apply_low_k_cutoff(self.rd, calc, pars, method.conditions)
 
         self.rids = (np.arange(self.rd.nr, dtype=np.int64) if rids is None
                      else np.asarray(rids, dtype=np.int64))
@@ -81,16 +102,17 @@ class SensitivityProblem:
                                or self.rids.max() >= self.rd.nr):
             raise ValueError("rids out of range for the filtered network")
 
-        self.net = build_mass_action(self.rd, self.sd.n)
+        self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
+        self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
         self.rhs, self.jac, self.prepare = _make_rhs_jac(self.net, "discrete")
         self.pars = pars
+        self.t0 = pars.tspan[0]
         self.chunkstep = (pars.solve_chunkstep if pars.solve_chunks
-                          else pars.tspan[1])
+                          else pars.tspan[1] - pars.tspan[0])
         self.saveat_local, self.n_chunks = (
             _chunk_save_grid(pars) if pars.solve_chunks
-            else (np.asarray([pars.tspan[1]]), 1))
+            else (np.asarray([self.chunkstep]), 1))
 
-        is_variable = isinstance(method, VariableODESolve)
         if is_variable:
             method.conditions.solve_variable_conditions(pars)
             tstops, ktab = calculate_discrete_rates(method.conditions, calc,
@@ -102,11 +124,13 @@ class SensitivityProblem:
         self._tstops = jnp.asarray(tstops)
         self._ktab = jnp.asarray(ktab)
         self._stops_rows = jnp.asarray(
-            _chunk_local_stops(tstops, self.n_chunks, self.chunkstep))
-        self._u0 = jnp.asarray(make_u0(self.sd, pars))
+            _chunk_local_stops(tstops - self.t0, self.n_chunks,
+                               self.chunkstep))
+        self._u0 = jnp.asarray(make_u0(self.sd, pars), dtype=self.dtype)
 
         rhs, jac, prepare = self.rhs, self.jac, self.prepare
         chunkstep = self.chunkstep
+        t_base = self.t0
         saveat_j = jnp.asarray(self.saveat_local)
         tstops_j, stops_rows = self._tstops, self._stops_rows
         chunk_ids = jnp.arange(self.n_chunks, dtype=jnp.float64)
@@ -129,34 +153,41 @@ class SensitivityProblem:
                     nonnegative_project=pars.project_negatives,
                     lu_precision=pars.lu_precision,
                     first_step=h, prepare=prepare,
-                    args=(nc * chunkstep, (tstops_j, ktab_s)))
-                return (res.y_final, res.h), res.ys
+                    args=(t_base + nc * chunkstep, (tstops_j, ktab_s)))
+                return (res.y_final, res.h), (res.ys, res.status)
 
             h0 = jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))
-            _, ys = jax.lax.scan(body, (u0, h0), (chunk_ids, stops_rows))
-            return ys.reshape(-1, u0.shape[0])
+            _, (ys, statuses) = jax.lax.scan(body, (u0, h0),
+                                             (chunk_ids, stops_rows))
+            return ys.reshape(-1, u0.shape[0]), jnp.min(statuses)
 
         self._solve_theta = jax.jit(solve_theta)
-        # jacfwd w.r.t. theta: one tangent per selected reaction
+        # jacfwd w.r.t. theta (of the trajectory output only): one tangent
+        # per selected reaction
         self._solve_with_S = jax.jit(
             lambda theta, ktab, u0: (
                 solve_theta(theta, ktab, u0),
-                jax.jacfwd(solve_theta)(theta, ktab, u0)))
+                jax.jacfwd(lambda th: solve_theta(th, ktab, u0)[0])(theta)))
 
     def solve(self) -> SensitivitySolution:
         logger.info(" - Forward-sensitivity solve: %d parameters over "
                     "%d chunks.", len(self.rids), self.n_chunks)
-        theta0 = jnp.zeros((len(self.rids),), jnp.float64)
-        ys, S = self._solve_with_S(theta0, self._ktab, self._u0)
+        theta0 = jnp.zeros((len(self.rids),), self.dtype)
+        (ys, status), S = self._solve_with_S(theta0, self._ktab, self._u0)
+        if int(status) != bdf.DONE:
+            raise RuntimeError(
+                f"Sensitivity solve failed (worst BDF status {int(status)}); "
+                "loosen tolerances or reduce the parameter set")
         u0_np = np.asarray(self._u0)
         u = np.concatenate([u0_np[None], np.asarray(ys)])
         S_np = np.concatenate(
             [np.zeros((1,) + S.shape[1:]), np.asarray(S)])
-        ts = np.concatenate([
+        ts = self.t0 + np.concatenate([
             [0.0],
             (np.arange(self.n_chunks)[:, None] * self.chunkstep
              + self.saveat_local[None, :]).ravel()])
-        return SensitivitySolution(t=ts, u=u, S=S_np, rids=self.rids)
+        return SensitivitySolution(t=ts, u=u, S=S_np, rids=self.rids,
+                                   rd=self.rd)
 
 
 def solve_network_sensitivities(method, sd, rd, rids=None):
@@ -164,14 +195,22 @@ def solve_network_sensitivities(method, sd, rd, rids=None):
     return SensitivityProblem(method, sd, rd, rids=rids).solve()
 
 
-def rank_reactions(sens: SensitivitySolution, sd: SpeciesData, rd: RxData,
+def rank_reactions(sens: SensitivitySolution, sd: SpeciesData,
+                   rd: RxData | None = None,
                    species: str | None = None, top_n: int = 10):
     """Rank reactions by peak absolute log-sensitivity.
 
     ``species`` restricts the ranking to one trajectory; otherwise the max
     is taken over all species. Returns a list of (rid, score) sorted
-    descending — the standard first step of mechanism reduction.
+    descending — the standard first step of mechanism reduction. The rids
+    index ``sens.rd`` (the filtered network snapshot the solve ran on);
+    passing a ``rd`` with a different reaction count raises to catch
+    accidental cross-network indexing.
     """
+    if rd is not None and sens.rd is not None and rd.nr != sens.rd.nr:
+        raise ValueError(
+            f"rd has {rd.nr} reactions but the sensitivity solve ran on "
+            f"{sens.rd.nr}; rids index sens.rd — use that network")
     S = (sens.S[:, sd.toInt[species], :][:, None, :] if species is not None
          else sens.S)
     score = np.max(np.abs(S), axis=(0, 1))

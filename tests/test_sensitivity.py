@@ -61,8 +61,9 @@ class TestForwardSensitivity:
             for sign in (+1, -1):
                 theta = np.zeros(len(rids))
                 theta[col] = sign * eps
-                ys = prob._solve_theta(jnp.asarray(theta), prob._ktab,
-                                       prob._u0)
+                ys, status = prob._solve_theta(jnp.asarray(theta),
+                                               prob._ktab, prob._u0)
+                assert int(status) == 1
                 us.append(np.asarray(ys))
             fd = (us[0] - us[1]) / (2 * eps)
             scale = np.abs(sens.S[1:, :, col]).max() + 1e-12
