@@ -216,3 +216,32 @@ def rank_reactions(sens: SensitivitySolution, sd: SpeciesData,
     score = np.max(np.abs(S), axis=(0, 1))
     order = np.argsort(score)[::-1][:top_n]
     return [(int(sens.rids[i]), float(score[i])) for i in order]
+
+
+def save_sensitivities(sens: SensitivitySolution, saveto: str) -> None:
+    """Persist a SensitivitySolution as a portable .npz (S can be large).
+
+    The network snapshot is NOT embedded — save it separately with the
+    solve output (`analysis.io.save_output`); `rids` plus the reaction
+    count are stored so a mismatched reload is detected.
+    """
+    np.savez_compressed(
+        saveto, t=sens.t, u=sens.u, S=sens.S, rids=sens.rids,
+        nr=np.asarray(sens.rd.nr if sens.rd is not None else -1))
+    logger.info("Saved sensitivities to %s", saveto)
+
+
+def load_sensitivities(path: str, rd: RxData | None = None) -> SensitivitySolution:
+    """Load a :func:`save_sensitivities` file.
+
+    Pass the matching (filtered) ``rd`` to re-attach the network snapshot;
+    a reaction-count mismatch raises rather than silently mis-indexing.
+    """
+    with np.load(path) as z:
+        nr = int(z["nr"])
+        if rd is not None and nr >= 0 and rd.nr != nr:
+            raise ValueError(
+                f"Sensitivity file was computed on a {nr}-reaction network "
+                f"but the given rd has {rd.nr}")
+        return SensitivitySolution(t=z["t"], u=z["u"], S=z["S"],
+                                   rids=z["rids"], rd=rd)

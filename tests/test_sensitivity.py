@@ -86,3 +86,20 @@ class TestForwardSensitivity:
         sd, rd, calc, conditions, pars, method = make_problem()
         with pytest.raises(ValueError, match="rids"):
             SensitivityProblem(method, sd, rd, rids=[rd.nr + 5])
+
+
+def test_save_load_roundtrip(tmp_path):
+    from kinetica_tpu.solving.sensitivity import (load_sensitivities,
+                                                  save_sensitivities)
+    sd, rd, calc, conditions, pars, method = make_problem()
+    sens = solve_network_sensitivities(method, sd, rd, rids=[0, 2])
+    path = str(tmp_path / "sens.npz")
+    save_sensitivities(sens, path)
+    back = load_sensitivities(path, rd=sens.rd)
+    np.testing.assert_array_equal(back.S, sens.S)
+    np.testing.assert_array_equal(back.rids, sens.rids)
+    assert back.rd.nr == sens.rd.nr
+    # mismatched network detected
+    _, rd_small, _, _ = synthetic_pyrolysis_network(4)
+    with pytest.raises(ValueError, match="reaction"):
+        load_sensitivities(path, rd=rd_small)
