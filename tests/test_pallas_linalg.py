@@ -93,3 +93,27 @@ def test_bdf_linsolve_inv_cpu_interpretless():
                         rtol=1e-8, atol=1e-10, linsolve="auto", args=0.0)
     assert int(res.status) == bdf.DONE
     assert np.allclose(np.asarray(res.ys[-1]), np.exp(-1.0), atol=1e-7)
+
+
+def test_gj_inverse_jvp_analytic():
+    """The custom JVP (d(A^-1) = -A^-1 dA A^-1) matches finite differences
+    (interpret mode; on TPU this rule makes sensitivity solves work)."""
+    from kinetica_tpu.ops.pallas_linalg import _gj_call
+
+    rng = np.random.default_rng(3)
+    n = 6
+    A = np.eye(n) * 3.0 + rng.normal(size=(n, n)) * 0.3
+    dA = rng.normal(size=(n, n)) * 0.1
+
+    def inv_interp(M):
+        # same math as gj_inverse but forced through the interpreter
+        return _gj_call(M[None].astype(jnp.float32), interpret=True)[0]
+
+    # analytic rule applied to the interpreted primal
+    Minv = np.asarray(inv_interp(jnp.asarray(A)), dtype=np.float64)
+    dMinv_rule = -(Minv @ dA @ Minv)
+    eps = 1e-3
+    fd = (np.asarray(inv_interp(jnp.asarray(A + eps * dA)), np.float64)
+          - np.asarray(inv_interp(jnp.asarray(A - eps * dA)), np.float64)) / (2 * eps)
+    scale = np.abs(dMinv_rule).max()
+    assert np.abs(dMinv_rule - fd).max() / scale < 5e-3
