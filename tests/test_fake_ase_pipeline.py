@@ -1,0 +1,112 @@
+"""End-to-end ASENEBCalculator pipeline over the fake ASE backend.
+
+The counterpart of the reference's EMT end-to-end test
+(test/Python/ase.jl:79-102, CC <-> C=C + H2): the full data-acquisition
+pipeline — species properties, geometry opt, endpoint systems, (CI-)NEB,
+TS extraction, finite-difference vibrations, disk caching, Eyring TST
+rates — runs without any external chemistry stack, via
+kinetica_tpu.testing.fake_ase. Like the reference, values are not
+chemistry; the plumbing is the subject under test.
+"""
+import numpy as np
+import pytest
+
+from kinetica_tpu.core.network import RxData, SpeciesData
+from kinetica_tpu.testing import fake_ase
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fake_backend():
+    fake_ase.install()
+    yield
+    fake_ase.uninstall()
+
+
+@pytest.fixture(scope="module")
+def network():
+    from kinetica_tpu.chem import frame_from_smiles
+    smis = ["CC", "C=C", "[H][H]"]
+    sd = SpeciesData(smis, [frame_from_smiles(s) for s in smis])
+    rd = RxData()
+    rd.push(sd, [["CC"]], [["C=C", "[H][H]"]])
+    rd.push(sd, [["C=C", "[H][H]"]], [["CC"]])
+    return sd, rd
+
+
+def make_calc(tmpdir, **kw):
+    from kinetica_tpu.ase.calculator import ASENEBCalculator
+    kw.setdefault("n_images", 5)
+    kw.setdefault("neb_optimiser", "fire")
+    kw.setdefault("climb", False)
+    kw.setdefault("ftol", 0.3)
+    kw.setdefault("geom_fmax", 0.05)
+    kw.setdefault("maxiters", 150)
+    kw.setdefault("interpolation", "linear")
+    return ASENEBCalculator(calc_builder=fake_ase.ToyMorseBuilder(),
+                            calcdir=str(tmpdir), **kw)
+
+
+class TestFakeAsePipeline:
+    def test_full_pipeline_runs(self, tmp_path, network):
+        sd, rd = network
+        sd, rd = sd.copy(), rd.copy()
+        calc = make_calc(tmp_path / "calc", remove_unconverged=False)
+        calc.setup_network(sd, rd)
+
+        # species-level artifacts all cached
+        for sid in range(sd.n):
+            assert sid in sd.cache["mult"]
+            assert sid in sd.cache["geometry"]
+            assert sid in sd.cache["vib_energies"]
+            assert "energy_ASE" in sd.xyz[sid]["info"]
+        # nonlinear molecules got 3N-6 modes
+        cc = sd.toInt["CC"]
+        assert len(sd.cache["vib_energies"][cc]) == 3 * 8 - 6
+        # TS data recorded for both reactions (converged or sentinel)
+        assert set(calc.ts_cache["conv"].keys()) == {0, 1}
+
+        # Eyring TST rates evaluate (traceable in T, P)
+        if rd.nr:
+            k = np.asarray(calc(T=1000.0, P=1e5))
+            assert k.shape == (rd.nr,)
+            assert np.all(np.isfinite(k)) and np.all(k >= 0.0)
+
+    def test_disk_cache_roundtrip(self, tmp_path, network):
+        sd, rd = network
+        calcdir = tmp_path / "calc2"
+        sd1, rd1 = sd.copy(), rd.copy()
+        calc1 = make_calc(calcdir, remove_unconverged=False)
+        calc1.setup_network(sd1, rd1)
+        e_first = sd1.xyz[0]["info"]["energy_ASE"]
+
+        # a second calculator over the same calcdir reuses per-species
+        # artifacts (load_optgeom path) without re-optimising
+        sd2, rd2 = sd.copy(), rd.copy()
+        calc2 = make_calc(calcdir, remove_unconverged=False)
+        calc2.setup_network(sd2, rd2)
+        assert sd2.xyz[0]["info"]["energy_ASE"] == pytest.approx(e_first)
+
+    def test_neb_and_ts_extraction_direct(self, tmp_path, network):
+        from kinetica_tpu.ase.neb import highest_energy_frame, neb
+        sd, rd = network
+        sd, rd = sd.copy(), rd.copy()
+        calc = make_calc(tmp_path / "calc3")
+        calc.sd, calc.rd = sd, rd
+        from kinetica_tpu.ase.properties import (get_charge_cached,
+                                                 get_mult_cached)
+        for sid in range(sd.n):
+            get_mult_cached(sd, sid)
+            get_charge_cached(sd, sid)
+        # endpoint systems via the calculator's own helper
+        reacsys = calc._endpoint_system(rd.id_reacs[0], rd.stoic_reacs[0],
+                                        str(tmp_path / "calc3"))
+        prodsys = calc._endpoint_system(rd.id_prods[0], rd.stoic_prods[0],
+                                        str(tmp_path / "calc3"))
+        images, conv = neb(reacsys, prodsys, calc,
+                           calcdir=str(tmp_path / "calc3"))
+        assert len(images) == calc.n_images
+        ts = highest_energy_frame(images)
+        assert ts["N_atoms"] == 8
+        e_ts = ts["info"]["energy_ASE"]
+        e_r = images[0].get_potential_energy()
+        assert e_ts >= e_r  # a barrier (or at least non-downhill TS)
