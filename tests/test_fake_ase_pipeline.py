@@ -110,3 +110,35 @@ class TestFakeAsePipeline:
         e_ts = ts["info"]["energy_ASE"]
         e_r = images[0].get_potential_energy()
         assert e_ts >= e_r  # a barrier (or at least non-downhill TS)
+
+    def test_asenab_in_solve_network(self, tmp_path, network):
+        """The TST calculator drives a discrete variable-T solve_network —
+        the reference's production configuration (ASENEB requires discrete
+        updates there; here TST rates are traceable so both modes work)."""
+        from kinetica_tpu.conditions.condition_set import ConditionSet
+        from kinetica_tpu.conditions.profiles import LinearGradientProfile
+        from kinetica_tpu.solving.methods import (VariableODESolve,
+                                                  solve_network)
+        from kinetica_tpu.solving.params import ODESimulationParams
+
+        sd, rd = network
+        sd, rd = sd.copy(), rd.copy()
+        calc = make_calc(tmp_path / "calc4", remove_unconverged=False,
+                         k_max=1e6)
+        conditions = ConditionSet(
+            {"T": LinearGradientProfile(rate=100.0, X_start=800.0,
+                                        X_end=1200.0),
+             "P": 1e5},
+            ts_update=1.0)
+        tf = conditions.get_t_final()
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"CC": 1.0},
+                                   solve_chunks=True, solve_chunkstep=tf / 4,
+                                   low_k_cutoff="none")
+        res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
+        assert res.sol.success
+        u = np.asarray(res.sol.u)
+        assert u.shape[1] == sd.n
+        assert np.all(np.isfinite(u))
+        # mass conservation in carbon units: 2[CC] + 2[C=C]
+        carbon = 2 * u[:, res.sd.toInt["CC"]] + 2 * u[:, res.sd.toInt["C=C"]]
+        np.testing.assert_allclose(carbon, carbon[0], rtol=1e-6)
