@@ -56,6 +56,8 @@ def __getattr__(name):
         "SensitivityProblem": "kinetica_tpu.solving.sensitivity",
         "solve_network_sensitivities": "kinetica_tpu.solving.sensitivity",
         "rank_reactions": "kinetica_tpu.solving.sensitivity",
+        "save_sensitivities": "kinetica_tpu.solving.sensitivity",
+        "load_sensitivities": "kinetica_tpu.solving.sensitivity",
         "solve_network_ensemble": "kinetica_tpu.parallel.batching",
         "tconvert": "kinetica_tpu.utils",
         "create_savepoints": "kinetica_tpu.utils",

@@ -225,6 +225,8 @@ def save_sensitivities(sens: SensitivitySolution, saveto: str) -> None:
     solve output (`analysis.io.save_output`); `rids` plus the reaction
     count are stored so a mismatched reload is detected.
     """
+    if not saveto.endswith(".npz"):
+        saveto = saveto + ".npz"   # savez appends it anyway; keep the log honest
     np.savez_compressed(
         saveto, t=sens.t, u=sens.u, S=sens.S, rids=sens.rids,
         nr=np.asarray(sens.rd.nr if sens.rd is not None else -1))

@@ -136,7 +136,13 @@ class Atoms:
 
 
 class _Descent:
-    """Backtracking steepest-descent standing in for every ASE optimiser."""
+    """Force-quenching descent standing in for every ASE optimiser.
+
+    The stopping rule and step control are force-based (like FIRE), not
+    energy-based: NEB's projected/spring force field is non-conservative
+    and the climbing image deliberately ASCENDS the energy, so energy
+    backtracking would never converge a band.
+    """
 
     def __init__(self, obj, *args, **kwargs):
         self.obj = obj
@@ -147,25 +153,23 @@ class _Descent:
 
     def run(self, fmax=0.05, steps=1000):
         obj = self.obj
-        alpha = 0.05
-        e = obj.get_potential_energy()
+        alpha = 0.02
+        f_prev = None
         for _ in range(int(steps)):
             f = np.asarray(obj.get_forces())
             self._residual = float(np.abs(f).max())
             if self._residual < fmax:
                 return True
-            pos = obj.get_positions()
-            for _ in range(20):
-                obj.set_positions(pos + alpha * f)
-                e_new = obj.get_potential_energy()
-                if e_new <= e + 1e-12:
-                    e = e_new
-                    alpha = min(alpha * 1.2, 0.2)
-                    break
-                alpha *= 0.5
-            else:
-                obj.set_positions(pos)
-                return False
+            if f_prev is not None:
+                # velocity-free FIRE-style control: if the new force is
+                # roughly aligned with the last step, accelerate; if it
+                # flipped (overshoot), back off
+                if float(np.vdot(f, f_prev)) > 0.0:
+                    alpha = min(alpha * 1.1, 0.15)
+                else:
+                    alpha = max(alpha * 0.4, 1e-4)
+            obj.set_positions(obj.get_positions() + alpha * f)
+            f_prev = f
         f = np.asarray(obj.get_forces())
         self._residual = float(np.abs(f).max())
         return bool(self._residual < fmax)
@@ -332,24 +336,34 @@ def install() -> None:
                       ("ase.mep.neb", mep_neb), ("ase.vibrations", vib),
                       ("ase.io", io_mod), ("ase.calculators", calcs),
                       ("ase.calculators.emt", emt)):
+        mod.__kinetica_fake__ = True
         sys.modules[name] = mod
 
+    _set_has_ase(True)
+
+
+def _set_has_ase(value: bool) -> None:
+    """Flip both public flags: backends.HAS_ASE and its chem re-export."""
+    import kinetica_tpu.chem as chem
     from ..chem import backends
-    backends.HAS_ASE = True
+    backends.HAS_ASE = value
+    if hasattr(chem, "HAS_ASE"):
+        chem.HAS_ASE = value
 
 
 def uninstall() -> None:
     """Remove the fake modules and restore backend detection."""
-    for name in list(sys.modules):
-        if name == "ase" or name.startswith("ase."):
-            if getattr(sys.modules.get("ase"), "__kinetica_fake__", False):
-                del sys.modules[name]
-    from ..chem import backends
+    # every installed module is tagged; decide before mutating sys.modules
+    fake = [name for name, mod in list(sys.modules.items())
+            if (name == "ase" or name.startswith("ase."))
+            and getattr(mod, "__kinetica_fake__", False)]
+    for name in fake:
+        del sys.modules[name]
     import importlib.util
     try:
-        backends.HAS_ASE = importlib.util.find_spec("ase") is not None
+        _set_has_ase(importlib.util.find_spec("ase") is not None)
     except (ImportError, ModuleNotFoundError, ValueError):
-        backends.HAS_ASE = False
+        _set_has_ase(False)
 
 
 class ToyMorseBuilder:

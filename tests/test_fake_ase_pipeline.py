@@ -17,7 +17,10 @@ from kinetica_tpu.testing import fake_ase
 
 @pytest.fixture(scope="module", autouse=True)
 def fake_backend():
-    fake_ase.install()
+    try:
+        fake_ase.install()
+    except RuntimeError as exc:
+        pytest.skip(f"cannot install fake ase backend: {exc}")
     yield
     fake_ase.uninstall()
 
@@ -62,8 +65,10 @@ class TestFakeAsePipeline:
         # nonlinear molecules got 3N-6 modes
         cc = sd.toInt["CC"]
         assert len(sd.cache["vib_energies"][cc]) == 3 * 8 - 6
-        # TS data recorded for both reactions (converged or sentinel)
-        assert set(calc.ts_cache["conv"].keys()) == {0, 1}
+        # both NEBs converge at the loose test tolerances (the force-based
+        # fake optimiser handles the band's non-conservative force field)
+        assert calc.ts_cache["conv"] == {0: True, 1: True}
+        assert rd.nr == 2
 
         # Eyring TST rates evaluate (traceable in T, P)
         if rd.nr:

@@ -95,25 +95,26 @@ def test_bdf_linsolve_inv_cpu_interpretless():
     assert np.allclose(np.asarray(res.ys[-1]), np.exp(-1.0), atol=1e-7)
 
 
-def test_gj_inverse_jvp_analytic():
-    """The custom JVP (d(A^-1) = -A^-1 dA A^-1) matches finite differences
-    (interpret mode; on TPU this rule makes sensitivity solves work)."""
-    from kinetica_tpu.ops.pallas_linalg import _gj_call
+def test_gj_inverse_jvp_registered_rule(monkeypatch):
+    """jax.jvp through gj_inverse exercises the REGISTERED custom rule
+    (primal forced through the interpreter so no TPU is needed) and the
+    tangent matches finite differences of the primal."""
+    from kinetica_tpu.ops import pallas_linalg as pl_mod
+
+    real_call = pl_mod._gj_call
+    monkeypatch.setattr(pl_mod, "_gj_call",
+                        lambda A, interpret: real_call(A, True))
 
     rng = np.random.default_rng(3)
     n = 6
-    A = np.eye(n) * 3.0 + rng.normal(size=(n, n)) * 0.3
-    dA = rng.normal(size=(n, n)) * 0.1
+    A = jnp.asarray(np.eye(n) * 3.0 + rng.normal(size=(n, n)) * 0.3)
+    dA = jnp.asarray(rng.normal(size=(n, n)) * 0.1)
 
-    def inv_interp(M):
-        # same math as gj_inverse but forced through the interpreter
-        return _gj_call(M[None].astype(jnp.float32), interpret=True)[0]
-
-    # analytic rule applied to the interpreted primal
-    Minv = np.asarray(inv_interp(jnp.asarray(A)), dtype=np.float64)
-    dMinv_rule = -(Minv @ dA @ Minv)
+    Minv, dMinv = jax.jvp(pl_mod.gj_inverse, (A,), (dA,))
     eps = 1e-3
-    fd = (np.asarray(inv_interp(jnp.asarray(A + eps * dA)), np.float64)
-          - np.asarray(inv_interp(jnp.asarray(A - eps * dA)), np.float64)) / (2 * eps)
-    scale = np.abs(dMinv_rule).max()
-    assert np.abs(dMinv_rule - fd).max() / scale < 5e-3
+    fd = (np.asarray(real_call((A + eps * dA)[None].astype(jnp.float32), True)[0],
+                     np.float64)
+          - np.asarray(real_call((A - eps * dA)[None].astype(jnp.float32), True)[0],
+                       np.float64)) / (2 * eps)
+    scale = np.abs(np.asarray(dMinv)).max()
+    assert np.abs(np.asarray(dMinv, dtype=np.float64) - fd).max() / scale < 5e-3
