@@ -43,7 +43,7 @@ def make_calc(tmpdir, **kw):
     kw.setdefault("climb", False)
     kw.setdefault("ftol", 0.3)
     kw.setdefault("geom_fmax", 0.05)
-    kw.setdefault("maxiters", 150)
+    kw.setdefault("maxiters", 400)
     kw.setdefault("interpolation", "linear")
     return ASENEBCalculator(calc_builder=fake_ase.ToyMorseBuilder(),
                             calcdir=str(tmpdir), **kw)
