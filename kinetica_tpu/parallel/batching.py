@@ -111,10 +111,12 @@ class EnsembleProblem:
                  chunk_mode: str = "auto", rate_mode: str = "discrete"):
         """``chunk_mode``: "scan" runs all chunks in one device program
         (lowest overhead; the right choice for CPU and for multi-chip
-        dry-runs), "host" dispatches one device call per chunk (bounds the
-        runtime of any single device execution — long lockstep sweeps on a
-        remote-attached TPU can otherwise exceed the worker's execution
-        deadline), "auto" picks host on accelerators and scan on CPU.
+        dry-runs), "host" dispatches one device call per chunk, "group"
+        scans ``pars.chunks_per_dispatch`` chunks (default 8) per device
+        call — amortising the fixed per-dispatch overhead of a
+        remote-attached chip (~25-45 ms each) while still bounding any
+        single device execution below the worker's deadline. "auto" picks
+        group on accelerators and scan on CPU.
 
         ``rate_mode``: "discrete" precomputes per-member k tables on a
         shared tstop grid (the reference's production formalism); the
@@ -129,7 +131,9 @@ class EnsembleProblem:
         pars = method.pars
         calc = method.calculator
         if chunk_mode == "auto":
-            chunk_mode = "scan" if jax.default_backend() == "cpu" else "host"
+            chunk_mode = "scan" if jax.default_backend() == "cpu" else "group"
+        if chunk_mode not in ("scan", "host", "group"):
+            raise ValueError(f"unknown chunk_mode {chunk_mode!r}")
         self.chunk_mode = chunk_mode
         if rate_mode not in ("discrete", "continuous"):
             raise ValueError(f"unknown rate_mode {rate_mode!r}")
@@ -230,6 +234,35 @@ class EnsembleProblem:
                      in_axes=(0, 0, payload_axes, stops_axes, None,
                               None, None)))
 
+        def member_group(u0, h0, payload, stops_rows, ncs, abstol, reltol):
+            def body(carry, xs):
+                u, worst, h_prev = carry
+                nc, stops_row = xs
+                res = bdf.bdf_solve(
+                    rhs, jac, u, 0.0, chunkstep, saveat_j,
+                    rtol=reltol, atol=abstol, stops=stops_row,
+                    max_steps=int(pars_ref.maxiters),
+                    nonnegative=pars_ref.ban_negatives,
+                    nonnegative_project=pars_ref.project_negatives,
+                    lu_precision=pars_ref.lu_precision,
+                    first_step=h_prev, prepare=prepare,
+                    args=(nc * chunkstep, payload))
+                return (res.y_final, jnp.minimum(worst, res.status),
+                        res.h), res.ys
+
+            (u_f, worst, h_f), ys = jax.lax.scan(
+                body, (u0, jnp.asarray(bdf.DONE, jnp.int32), h0),
+                (ncs, stops_rows))
+            return u_f, h_f, worst, ys
+
+        # stops rows are per-chunk: slice axis 0 (discrete/shared) or
+        # axis 1 (continuous/per-member) when grouping
+        self._group_fn = jax.jit(
+            jax.vmap(member_group,
+                     in_axes=(0, 0, payload_axes,
+                              None if stops_axes is None else 0,
+                              None, None, None)))
+
     def solve(self, conditions_list: list[ConditionSet] | None = None,
               u0s: np.ndarray | None = None, sharding=None,
               k_tables: np.ndarray | None = None,
@@ -315,6 +348,23 @@ class EnsembleProblem:
                 worst = status if worst is None else jnp.minimum(worst, status)
             statuses = np.asarray(worst)
             ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
+        elif self.chunk_mode == "group":
+            cpd = pars.chunks_per_dispatch or 8
+            u = u0s_j
+            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
+            worst = None
+            ys_groups = []
+            for lo in range(0, self.n_chunks, cpd):
+                hi = min(lo + cpd, self.n_chunks)
+                ncs = jnp.arange(lo, hi, dtype=self.dtype)
+                rows = (stops_rows[lo:hi] if self.rate_mode == "discrete"
+                        else stops_rows[:, lo:hi])
+                u, h, status, ys_g = self._group_fn(
+                    u, h, payload, rows, ncs, abstol_j, reltol_j)
+                ys_groups.append(ys_g)   # (B, hi-lo, m, ns)
+                worst = status if worst is None else jnp.minimum(worst, status)
+            statuses = np.asarray(worst)
+            ys = jnp.concatenate(ys_groups, axis=1)
         else:
             statuses, ys = self._solve_fn(
                 u0s_j, payload, stops_rows, abstol_j, reltol_j)

@@ -174,3 +174,29 @@ class TestContinuousEnsemble:
         prob = EnsembleProblem(method, sd, rd, rate_mode="continuous")
         with pytest.raises(ValueError, match="structurally|symbols"):
             prob.solve(conditions_list=[conds[0], bad])
+
+
+def test_group_chunk_mode_matches_scan():
+    """chunk_mode='group' (accelerator default: grouped chunk scans per
+    dispatch) produces the same trajectories as one full scan, including
+    an uneven final group."""
+    from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    conds = [ConditionSet({"T": LinearGradientProfile(
+        rate=r, X_start=600.0, X_end=600.0 + r * 7.0)}, ts_update=0.5)
+        for r in (40.0, 55.0)]
+    results = []
+    for mode, cpd in (("scan", None), ("group", 3)):
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        pars = ODESimulationParams(tspan=(0.0, 7.0), u0={"C6": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none",
+                                   chunks_per_dispatch=cpd)
+        prob = EnsembleProblem(VariableODESolve(pars, conds[0], calc),
+                               sd, rd, chunk_mode=mode)
+        ens = prob.solve(conditions_list=conds)
+        assert ens.success
+        results.append(np.asarray(ens.u))
+    np.testing.assert_array_equal(results[0], results[1])
