@@ -118,3 +118,32 @@ def finalconcplot(res, n_top: int = 10, mode: str = "conc",
     if logx:
         ax.set_xscale("log")
     return ax
+
+
+def sensitivityplot(sens, sd, species: str, top_n: int = 8, ax=None,
+                    t_unit: str = "s"):
+    """Plot the ``top_n`` most influential reactions' log-sensitivity
+    traces for one species' trajectory.
+
+    ``sens`` is a :class:`kinetica_tpu.solving.sensitivity.SensitivitySolution`;
+    reaction labels come from its own network snapshot (``sens.rd``), the
+    one the solve actually ran on. No reference equivalent (the reference
+    has no sensitivity analysis).
+    """
+    plt = _require_mpl()
+    from ..core.network import format_rxn
+    from ..solving.sensitivity import rank_reactions
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 5))
+    sid = sd.toInt[species]
+    for rid, score in rank_reactions(sens, sd, species=species, top_n=top_n):
+        label = (format_rxn(sd, sens.rd, rid) if sens.rd is not None
+                 else f"reaction {rid}")
+        col = int(np.flatnonzero(sens.rids == rid)[0])
+        ax.plot(sens.t, sens.S[:, sid, col], label=label[:48])
+    ax.set_xlabel(f"Time / {t_unit}")
+    ax.set_ylabel(rf"$\partial\,[{species}]\,/\,\partial\,\ln k_j$")
+    ax.axhline(0.0, color="k", lw=0.5)
+    ax.legend(fontsize=7)
+    return ax

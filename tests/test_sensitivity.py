@@ -103,3 +103,15 @@ def test_save_load_roundtrip(tmp_path):
     _, rd_small, _, _ = synthetic_pyrolysis_network(4)
     with pytest.raises(ValueError, match="reaction"):
         load_sensitivities(path, rd=rd_small)
+
+
+def test_sensitivityplot_smoke(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    from kinetica_tpu.analysis.plotting import sensitivityplot
+    sd, rd, calc, conditions, pars, method = make_problem()
+    sens = solve_network_sensitivities(method, sd, rd)
+    ax = sensitivityplot(sens, sd, "C6", top_n=3)
+    assert len(ax.lines) >= 3  # 3 traces + zero line
+    import matplotlib.pyplot as plt
+    plt.gcf().savefig(str(tmp_path / "sens.png"))
