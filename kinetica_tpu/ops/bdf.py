@@ -497,8 +497,16 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                   / (2 * NEWTON_MAXITER + n_it.astype(f32)))
 
         # --- error test (norms and factors in f32; d itself stays f64) ---
-        scale = _scale32(y_new)
-        err_norm = _rms_norm(error_const32[order] * d.astype(f32) / scale)
+        # The d/scale quotient is formed in the state dtype and only the
+        # result cast to f32: with atol below f32-tiny (~1.2e-38) both an
+        # f32 d and an f32 scale underflow to 0, giving err_norm 0 and
+        # spurious acceptance; the quotient itself is O(1) and f32-safe.
+        scale_full = (atol.astype(d.dtype)
+                      + rtol.astype(d.dtype)
+                      * jnp.minimum(jnp.abs(y_new),
+                                    jnp.asarray(1e37, d.dtype)))
+        err_norm = _rms_norm(error_const32[order]
+                             * (d / scale_full).astype(f32))
         neg = jnp.asarray(nonnegative) & (jnp.min(y_new) < 0.0)
         accept = converged & (err_norm <= 1.0) & (~neg)
 
@@ -551,12 +559,12 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             err_m = jnp.where(
                 order > 1,
                 _rms_norm(error_const32[jnp.maximum(order - 1, 0)]
-                          * D2[order].astype(f32) / scale),
+                          * (D2[order] / scale_full).astype(f32)),
                 jnp.asarray(jnp.inf, f32))
             err_p = jnp.where(
                 order < MAX_ORDER,
                 _rms_norm(error_const32[jnp.minimum(order + 1, MAX_ORDER)]
-                          * D2[order + 2].astype(f32) / scale),
+                          * (D2[order + 2] / scale_full).astype(f32)),
                 jnp.asarray(jnp.inf, f32))
 
             # err ** (-1/q) with guards: TPU's emulated pow returns NaN

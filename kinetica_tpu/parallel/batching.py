@@ -29,7 +29,8 @@ from ..ops import bdf
 from ..solving.methods import (VariableODESolve, _chunk_local_stops,
                                _chunk_save_grid, _jac_dtype, _make_rhs_jac)
 from ..solving.solutions import EnsembleSolution, retcode_from_status
-from ..solving.solve_utils import calculate_discrete_rates, make_u0
+from ..solving.solve_utils import (calculate_discrete_rates, make_u0,
+                                   resolve_chunks_per_dispatch)
 from ..utils.logging import logger
 
 
@@ -112,7 +113,8 @@ class EnsembleProblem:
         """``chunk_mode``: "scan" runs all chunks in one device program
         (lowest overhead; the right choice for CPU and for multi-chip
         dry-runs), "host" dispatches one device call per chunk, "group"
-        scans ``pars.chunks_per_dispatch`` chunks (default 8) per device
+        scans ``pars.chunks_per_dispatch`` chunks (None = the shared
+        auto value: all chunks on CPU, 32 on accelerators) per device
         call. "auto" picks host on accelerators and scan on CPU —
         measured on the remote-attached TPU, grouping is a wash (~3%
         slower on the bench sweep): the runtime pipelines each dispatch's
@@ -351,7 +353,8 @@ class EnsembleProblem:
             statuses = np.asarray(worst)
             ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
         elif self.chunk_mode == "group":
-            cpd = pars.chunks_per_dispatch or 8
+            cpd = resolve_chunks_per_dispatch(pars.chunks_per_dispatch,
+                                              self.n_chunks)
             u = u0s_j
             h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
             worst = None

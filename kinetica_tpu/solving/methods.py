@@ -47,7 +47,8 @@ from .filters import RxFilter
 from .params import ODESimulationParams
 from .solutions import (ODESolution, retcode_from_status)
 from .solve_utils import (apply_low_k_cutoff, calculate_discrete_rates,
-                          get_initial_rates, make_u0)
+                          get_initial_rates, make_u0,
+                          resolve_chunks_per_dispatch)
 
 DEFAULT_COMPLETE_SAVEPOINTS = 1000
 
@@ -381,9 +382,7 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
     # execution runs unboundedly long (remote-attached TPU workers enforce
     # per-execution deadlines). Grouping is bit-neutral: the carry is
     # exactly (u, worst-status), threaded on host between dispatches.
-    cpd = pars.chunks_per_dispatch
-    if cpd is None:
-        cpd = n_chunks if jax.default_backend() == "cpu" else 32
+    cpd = resolve_chunks_per_dispatch(pars.chunks_per_dispatch, n_chunks)
 
     def solve_fn(abstol, reltol):
         at = jnp.asarray(abstol)

@@ -93,7 +93,11 @@ class SensitivityProblem:
             calc.splice(ids)
         calc.setup_network(self.sd, self.rd)
         # match solve_network's preprocessing exactly so u/S correspond to
-        # the production solve (same network, same reaction indexing)
+        # the production solve (same network, same reaction indexing).
+        # Conditions must be solved BEFORE the low-k cutoff: with
+        # low_k_cutoff="auto", get_max_rates needs solved profiles.
+        if is_variable:
+            method.conditions.solve_variable_conditions(pars)
         apply_low_k_cutoff(self.rd, calc, pars, method.conditions)
 
         self.rids = (np.arange(self.rd.nr, dtype=np.int64) if rids is None
@@ -114,7 +118,6 @@ class SensitivityProblem:
             else (np.asarray([self.chunkstep]), 1))
 
         if is_variable:
-            method.conditions.solve_variable_conditions(pars)
             tstops, ktab = calculate_discrete_rates(method.conditions, calc,
                                                     self.rd.nr)
         else:

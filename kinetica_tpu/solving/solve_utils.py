@@ -190,3 +190,19 @@ def make_u0(sd: SpeciesData, pars) -> np.ndarray:
                            "Check pars.u0 is correct.")
         u0[sd.toInt[spec]] = conc
     return u0
+
+
+def resolve_chunks_per_dispatch(cpd: int | None, n_chunks: int) -> int:
+    """Shared auto-resolution for the device-dispatch granularity knob.
+
+    ``None`` means: the whole chunk loop in one device program on CPU,
+    groups of 32 chunks on accelerators (remote-attached TPU workers
+    enforce per-execution deadlines, so no single dispatch should run
+    unboundedly long). Every chunk-looping code path (solve methods and
+    ensembles) resolves the knob through this helper so the auto value
+    cannot drift between them.
+    """
+    import jax
+    if cpd is None:
+        return n_chunks if jax.default_backend() == "cpu" else 32
+    return int(cpd)

@@ -115,3 +115,26 @@ def test_sensitivityplot_smoke(tmp_path):
     assert len(ax.lines) >= 3  # 3 traces + zero line
     import matplotlib.pyplot as plt
     plt.gcf().savefig(str(tmp_path / "sens.png"))
+
+
+def test_auto_low_k_cutoff_variable_conditions():
+    """Regression: low_k_cutoff="auto" on a fresh VariableODESolve.
+
+    get_max_rates needs solved condition profiles, so SensitivityProblem
+    must solve variable conditions BEFORE applying the cutoff (mirroring
+    solve_network's ordering) — previously this raised RuntimeError.
+    """
+    sd, rd, Ea, A = synthetic_pyrolysis_network(5)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    conditions = ConditionSet(
+        {"T": LinearGradientProfile(rate=100.0, X_start=700.0,
+                                    X_end=1100.0)},
+        ts_update=0.5)
+    tf = conditions.get_t_final()
+    pars = ODESimulationParams(tspan=(0.0, tf), u0={"C5": 1.0},
+                               solve_chunks=True, solve_chunkstep=tf / 4,
+                               low_k_cutoff="auto")
+    method = VariableODESolve(pars, conditions, calc)
+    prob = SensitivityProblem(method, sd, rd, rids=[0, 1])
+    sens = prob.solve()
+    assert np.isfinite(sens.u).all() and np.isfinite(sens.S).all()
