@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from ..chem.conversion import frame_from_smiles
 from ..core.network import RxData, SpeciesData, init_network
 from ..solving.methods import AbstractODESolveMethod, solve_network
+from ..solving.solutions import RETCODE_SUCCESS
 from ..utils.logging import flush_log, logger
 from .cde import CDE
 from .explore_utils import (cleanup_network, identify_next_seeds,
@@ -277,6 +278,17 @@ def _explore_iterative(exploremethod: IterativeExplore,
         res = solve_network(solvemethod, sd, rd,
                             copy_network=not exploremethod.modify_network_on_solve)
         _save_checkpoint(res, savedir, f"level_network_1-{loc.level}.npz")
+
+        # Refuse to gate the next exploration level on a failed solve:
+        # seeds picked from garbage concentrations silently poison every
+        # subsequent level (solve_network's adaptive retry raises on
+        # unrecoverable failures, but retcodes are re-checked here so any
+        # future non-raising path cannot slip through).
+        if res.sol.retcode != RETCODE_SUCCESS:
+            raise RuntimeError(
+                f"Kinetic simulation of level {loc.level} network ended with "
+                f"retcode {res.sol.retcode!r}; refusing to select next-level "
+                "seeds from a failed solve.")
 
         explored_seeds += [s for s in current_seeds if s not in explored_seeds]
         seeds_out = (None if savedir is None

@@ -217,9 +217,11 @@ class EnsembleProblem:
                 (chunk_ids, stops_rows))
             return worst, ys
 
+        # tolerances are per-member (B,) vectors: the adaptive retry loop
+        # tightens only the failed lanes (see solve()), so tol axes are 0
         self._solve_fn = jax.jit(
             jax.vmap(member, in_axes=(0, payload_axes, stops_axes,
-                                      None, None)))
+                                      0, 0)))
 
         def member_chunk(u0, h_prev, payload, stops_row, nc, abstol, reltol):
             res = bdf.bdf_solve(
@@ -236,7 +238,7 @@ class EnsembleProblem:
         self._chunk_fn = jax.jit(
             jax.vmap(member_chunk,
                      in_axes=(0, 0, payload_axes, stops_axes, None,
-                              None, None)))
+                              0, 0)))
 
         def member_group(u0, h0, payload, stops_rows, ncs, abstol, reltol):
             def body(carry, xs):
@@ -265,7 +267,52 @@ class EnsembleProblem:
             jax.vmap(member_group,
                      in_axes=(0, 0, payload_axes,
                               None if stops_axes is None else 0,
-                              None, None, None)))
+                              None, 0, 0)))
+
+    def _run_batch(self, B, u0s_j, payload, stops_rows, abstol_j, reltol_j):
+        """One batched run at per-member tolerances -> (statuses, ys).
+
+        ``ys`` has shape (B, n_chunks, m, ns); ``statuses`` is the
+        per-member worst chunk status as a numpy (B,) int array.
+        """
+        if self.chunk_mode == "host":
+            u = u0s_j
+            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
+            worst = None
+            ys_chunks = []
+            for nc in range(self.n_chunks):
+                row = (stops_rows[nc] if self.rate_mode == "discrete"
+                       else stops_rows[:, nc])
+                u, h, status, ys_c = self._chunk_fn(
+                    u, h, payload, row,
+                    jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
+                ys_chunks.append(ys_c)
+                worst = status if worst is None else jnp.minimum(worst, status)
+            statuses = np.asarray(worst)
+            ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
+        elif self.chunk_mode == "group":
+            cpd = resolve_chunks_per_dispatch(self.pars.chunks_per_dispatch,
+                                              self.n_chunks)
+            u = u0s_j
+            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
+            worst = None
+            ys_groups = []
+            for lo in range(0, self.n_chunks, cpd):
+                hi = min(lo + cpd, self.n_chunks)
+                ncs = jnp.arange(lo, hi, dtype=self.dtype)
+                rows = (stops_rows[lo:hi] if self.rate_mode == "discrete"
+                        else stops_rows[:, lo:hi])
+                u, h, status, ys_g = self._group_fn(
+                    u, h, payload, rows, ncs, abstol_j, reltol_j)
+                ys_groups.append(ys_g)   # (B, hi-lo, m, ns)
+                worst = status if worst is None else jnp.minimum(worst, status)
+            statuses = np.asarray(worst)
+            ys = jnp.concatenate(ys_groups, axis=1)
+        else:
+            statuses, ys = self._solve_fn(
+                u0s_j, payload, stops_rows, abstol_j, reltol_j)
+            statuses = np.asarray(statuses)
+        return statuses, ys
 
     def solve(self, conditions_list: list[ConditionSet] | None = None,
               u0s: np.ndarray | None = None, sharding=None,
@@ -335,45 +382,51 @@ class EnsembleProblem:
 
         logger.info(" - Solving %d-member ensemble (%d chunks each, %s/%s mode)...",
                     B, self.n_chunks, self.chunk_mode, self.rate_mode)
-        abstol_j = jnp.asarray(pars.abstol)
-        reltol_j = jnp.asarray(pars.reltol)
-        if self.chunk_mode == "host":
-            u = u0s_j
-            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
-            worst = None
-            ys_chunks = []
-            for nc in range(self.n_chunks):
-                row = (stops_rows[nc] if self.rate_mode == "discrete"
-                       else stops_rows[:, nc])
-                u, h, status, ys_c = self._chunk_fn(
-                    u, h, payload, row,
-                    jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
-                ys_chunks.append(ys_c)
-                worst = status if worst is None else jnp.minimum(worst, status)
-            statuses = np.asarray(worst)
-            ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
-        elif self.chunk_mode == "group":
-            cpd = resolve_chunks_per_dispatch(pars.chunks_per_dispatch,
-                                              self.n_chunks)
-            u = u0s_j
-            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
-            worst = None
-            ys_groups = []
-            for lo in range(0, self.n_chunks, cpd):
-                hi = min(lo + cpd, self.n_chunks)
-                ncs = jnp.arange(lo, hi, dtype=self.dtype)
-                rows = (stops_rows[lo:hi] if self.rate_mode == "discrete"
-                        else stops_rows[:, lo:hi])
-                u, h, status, ys_g = self._group_fn(
-                    u, h, payload, rows, ncs, abstol_j, reltol_j)
-                ys_groups.append(ys_g)   # (B, hi-lo, m, ns)
-                worst = status if worst is None else jnp.minimum(worst, status)
-            statuses = np.asarray(worst)
-            ys = jnp.concatenate(ys_groups, axis=1)
-        else:
-            statuses, ys = self._solve_fn(
-                u0s_j, payload, stops_rows, abstol_j, reltol_j)
-            statuses = np.asarray(statuses)
+
+        # --- per-member adaptive-tolerance recovery ---
+        # The batched mirror of the reference's adaptive_solve!
+        # (solve_utils.jl:376-424): after a batch run, lanes that failed
+        # are re-solved with x10-tightened tolerances, at most 5 attempts.
+        # Tolerances are per-lane vectors into the SAME compiled program
+        # (no recompilation); each retry re-runs the full batch — wasteful
+        # only in the rare failure case — and results merge lane-wise so
+        # successful lanes keep their first (requested-tolerance) answer.
+        abstol_v = np.full(B, float(pars.abstol))
+        reltol_v = np.full(B, float(pars.reltol))
+        mintol = np.finfo(np.float64).eps
+        attempts = 0
+        statuses = ys = None
+        while True:
+            attempts += 1
+            new_statuses, new_ys = self._run_batch(
+                B, u0s_j, payload, stops_rows,
+                jnp.asarray(abstol_v), jnp.asarray(reltol_v))
+            if statuses is None:
+                statuses, ys = new_statuses, np.asarray(new_ys)
+            else:
+                redo = statuses != bdf.DONE
+                statuses = np.where(redo, new_statuses, statuses)
+                ys = np.where(redo[:, None, None, None],
+                              np.asarray(new_ys), ys)
+            failed = statuses != bdf.DONE
+            if not failed.any() or not pars.adaptive_tols:
+                break
+            if attempts >= 5:
+                logger.error(" - Too many attempts have been made to reduce "
+                             "solver tolerance for %d ensemble member(s).",
+                             int(failed.sum()))
+                break
+            if ((abstol_v[failed] / 10 <= mintol).any()
+                    or (reltol_v[failed] / 10 <= mintol).any()):
+                logger.error(" - Failed ensemble member(s) cannot be converged "
+                             "by reducing solver tolerance any further.")
+                break
+            abstol_v[failed] /= 10
+            reltol_v[failed] /= 10
+            logger.warning("   - %d ensemble member(s) failed; retrying with "
+                           "tolerances tightened to abstol = %g reltol = %g",
+                           int(failed.sum()), abstol_v[failed].min(),
+                           reltol_v[failed].min())
         m = len(self.saveat_local)
         ys = np.asarray(ys).reshape(B, self.n_chunks * m, -1)
         ys = np.concatenate([np.asarray(u0s)[:, None, :], ys], axis=1)
@@ -393,7 +446,9 @@ class EnsembleProblem:
         return EnsembleSolution(
             t=ts, u=ys,
             retcodes=[retcode_from_status(s) for s in statuses],
-            vcs=vcs, stats={"n_chunks": self.n_chunks, "batch": B})
+            vcs=vcs, stats={"n_chunks": self.n_chunks, "batch": B,
+                            "attempts": attempts,
+                            "abstol": abstol_v, "reltol": reltol_v})
 
 
 def solve_network_ensemble(method: VariableODESolve, sd: SpeciesData,

@@ -253,3 +253,27 @@ class TestIterativeExplore:
         outs = os.listdir(str(tmp_path / "out"))
         assert any(o.startswith("level_network_") for o in outs)
         assert any(o.startswith("seeds_level") for o in outs)
+
+
+def test_driver_refuses_seed_gating_on_failed_solve(tmp_path, mock_cde,
+                                                    monkeypatch):
+    """A failed kinetic solve must abort the iterative loop, not silently
+    gate next-level seeds on garbage concentrations."""
+    import kinetica_tpu.exploration.methods as expl_methods
+
+    real_solve = expl_methods.solve_network
+
+    def failing_solve(*args, **kwargs):
+        res = real_solve(*args, **kwargs)
+        res.sol.retcode = "MaxIters"
+        return res
+
+    monkeypatch.setattr(expl_methods, "solve_network", failing_solve)
+    crn_dir = str(tmp_path / "crn")
+    explore = IterativeExplore(
+        rdir_head=crn_dir, reac_smiles=["CC"],
+        cde=make_cde(mock_cde), rxn_convergence_threshold=2,
+        seed_convergence_threshold=1, seed_conc=0.05, maxiters=60)
+    with pytest.raises(RuntimeError, match="refusing to select"):
+        explore_network(explore, solve_method(),
+                        savedir=str(tmp_path / "out"))

@@ -200,3 +200,87 @@ def test_group_chunk_mode_matches_scan():
         assert ens.success
         results.append(np.asarray(ens.u))
     np.testing.assert_array_equal(results[0], results[1])
+
+
+class TestEnsembleAdaptiveRetry:
+    """Per-member adaptive-tolerance recovery (solve_utils.jl:376-424)."""
+
+    def _problem(self, adaptive=True):
+        sd, rd, mkcalc = pyrolysis()
+        tf = 4.0
+        conditions_list = [ramp_conditions(r, tf, 1.0) for r in (40.0, 80.0)]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=1.0,
+                                   low_k_cutoff="none", adaptive_tols=adaptive)
+        method = VariableODESolve(pars, conditions_list[0], mkcalc())
+        return EnsembleProblem(method, sd, rd), conditions_list
+
+    def test_failed_member_recovers(self):
+        from kinetica_tpu.ops import bdf
+        prob, conditions_list = self._problem()
+        real_run = prob._run_batch
+        calls = []
+
+        def fake_run(B, u0s_j, payload, stops_rows, abstol_j, reltol_j):
+            statuses, ys = real_run(B, u0s_j, payload, stops_rows,
+                                    abstol_j, reltol_j)
+            calls.append((np.asarray(abstol_j).copy(),
+                          np.asarray(reltol_j).copy()))
+            if len(calls) == 1:
+                # lane 1 "fails" on the first attempt only
+                statuses = statuses.copy()
+                statuses[1] = bdf.FAIL_MAX_STEPS
+                ys = np.asarray(ys).copy()
+                ys[1] = np.nan
+            return statuses, ys
+
+        prob._run_batch = fake_run
+        ens = prob.solve(conditions_list=conditions_list)
+        assert ens.success
+        assert len(calls) == 2
+        # retry tightened ONLY the failed lane's tolerances
+        at0, rt0 = calls[0]
+        at1, rt1 = calls[1]
+        assert at1[0] == at0[0] and rt1[0] == rt0[0]
+        np.testing.assert_allclose(at1[1], at0[1] / 10)
+        np.testing.assert_allclose(rt1[1], rt0[1] / 10)
+        # lane 0 kept its first-attempt answer; lane 1 was replaced (finite)
+        assert np.isfinite(ens.u).all()
+        assert ens.stats["attempts"] == 2
+
+    def test_no_retry_when_adaptive_disabled(self):
+        from kinetica_tpu.ops import bdf
+        prob, conditions_list = self._problem(adaptive=False)
+        real_run = prob._run_batch
+        n = [0]
+
+        def fake_run(*args):
+            n[0] += 1
+            statuses, ys = real_run(*args)
+            statuses = statuses.copy()
+            statuses[1] = bdf.FAIL_MAX_STEPS
+            return statuses, ys
+
+        prob._run_batch = fake_run
+        ens = prob.solve(conditions_list=conditions_list)
+        assert n[0] == 1
+        assert not ens.success
+        assert ens.retcodes[1] != "Success"
+
+    def test_gives_up_after_five_attempts(self):
+        from kinetica_tpu.ops import bdf
+        prob, conditions_list = self._problem()
+        real_run = prob._run_batch
+        n = [0]
+
+        def fake_run(*args):
+            n[0] += 1
+            statuses, ys = real_run(*args)
+            statuses = statuses.copy()
+            statuses[0] = bdf.FAIL_H_UNDERFLOW
+            return statuses, ys
+
+        prob._run_batch = fake_run
+        ens = prob.solve(conditions_list=conditions_list)
+        assert n[0] == 5
+        assert not ens.success
