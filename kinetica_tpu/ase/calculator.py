@@ -110,6 +110,29 @@ class ASENEBCalculator(KineticCalculator):
         self.sd, self.rd = sd, rd
         os.makedirs(self.calcdir, exist_ok=True)
 
+        # --- whole-calculator checkpoint restore (io.jl:12-133) ---
+        # Verified against the live network before anything is adopted
+        # (verify_sd/verify_rd, io.jl:191-239): on mismatch the checkpoint
+        # is ignored and setup falls back to the per-rhash artifact cache.
+        chk = aseio.load_calculator_checkpoint(self.calcdir)
+        if chk is not None:
+            if (aseio.verify_sd(chk.get("species_smiles", {}), sd)
+                    and aseio.verify_rd(chk.get("rhashes", []), rd)):
+                ts_by_rhash = chk.get("ts_by_rhash", {})
+                restored = 0
+                for rid in range(rd.nr):
+                    ent = ts_by_rhash.get(rd.rhash[rid].hex())
+                    if ent is not None and rid not in self.ts_cache["conv"]:
+                        self._store_ts(rid, ent["xyz"], ent["conv"],
+                                       ent["vib_energies"], ent)
+                        restored += 1
+                if restored:
+                    logger.info(" - Restored %d reaction(s) from calculator "
+                                "checkpoint.", restored)
+            else:
+                logger.warning(" - Calculator checkpoint inconsistent with "
+                               "current network; ignoring it.")
+
         # --- per-species properties, conformers, optimisation, vibrations
         active = set()
         for rid in range(rd.nr):
@@ -176,6 +199,9 @@ class ASENEBCalculator(KineticCalculator):
                 continue
             try:
                 self._setup_reaction(rid)
+                # checkpoint after every completed reaction so an
+                # interrupted setup resumes without redoing converged work
+                self._save_checkpoint(active)
             except Exception as exc:
                 logger.warning("Reaction %d TS setup failed: %s", rid, exc)
                 incomplete.append(rid)
@@ -193,6 +219,11 @@ class ASENEBCalculator(KineticCalculator):
                 for key in self.ts_cache:
                     if rev_rid in self.ts_cache[key]:
                         self.ts_cache[key][rid] = self.ts_cache[key][rev_rid]
+
+        # final checkpoint BEFORE removal: keyed by rhash, so a fresh
+        # setup over the same (full) network restores every completed
+        # reaction, converged or not (io.jl:12-133)
+        self._save_checkpoint(active)
 
         # remove incomplete/unconverged reactions (calculator.jl:527-541)
         bad = [rid for rid in range(rd.nr)
@@ -309,6 +340,30 @@ class ASENEBCalculator(KineticCalculator):
         vibs = tmp_cache["vib_energies"][rid]
         aseio.save_vibdata(self.calcdir, rhash, vibs)
         self._store_ts(rid, ts, conv, vibs, extras)
+
+    def _save_checkpoint(self, active) -> None:
+        """Whole-calculator checkpoint: verified network snapshot + the
+        TS cache keyed by reaction hash (io.jl:12-133)."""
+        sd, rd = self.sd, self.rd
+        ts_by_rhash = {}
+        for rid, conv in self.ts_cache["conv"].items():
+            if rid >= rd.nr:
+                continue
+            ts_by_rhash[rd.rhash[rid].hex()] = {
+                "xyz": self.ts_cache["xyz"][rid],
+                "mult": self.ts_cache["mult"][rid],
+                "charge": self.ts_cache["charge"][rid],
+                "symmetry": self.ts_cache["symmetry"][rid],
+                "geometry": self.ts_cache["geometry"][rid],
+                "vib_energies": list(self.ts_cache["vib_energies"][rid]),
+                "conv": bool(conv),
+            }
+        aseio.save_calculator_checkpoint(self.calcdir, {
+            "species_smiles": {int(sid): sd.toStr[sid]
+                               for sid in sorted(active)},
+            "rhashes": [h.hex() for h in rd.rhash],
+            "ts_by_rhash": ts_by_rhash,
+        })
 
     def _store_ts(self, rid, ts, conv, vibs, extras) -> None:
         self.ts_cache["xyz"][rid] = ts

@@ -147,3 +147,82 @@ class TestFakeAsePipeline:
         # mass conservation in carbon units: 2[CC] + 2[C=C]
         carbon = 2 * u[:, res.sd.toInt["CC"]] + 2 * u[:, res.sd.toInt["C=C"]]
         np.testing.assert_allclose(carbon, carbon[0], rtol=1e-6)
+
+
+class TestCalculatorCheckpoint:
+    """Whole-calculator checkpoint + cache verification (io.jl:12-133,
+    191-239): interrupt setup, restart, complete from checkpoint."""
+
+    def test_interrupted_setup_resumes_from_checkpoint(self, tmp_path,
+                                                       network, monkeypatch):
+        from kinetica_tpu.ase import calculator as calcmod
+        from kinetica_tpu.ase import io as aseio
+
+        sd, rd = network
+        calcdir = tmp_path / "chk"
+
+        # First run: let reaction 0 complete, then "crash" on reaction 1.
+        sd1, rd1 = sd.copy(), rd.copy()
+        calc1 = make_calc(calcdir, remove_unconverged=False)
+        real_setup_rxn = calcmod.ASENEBCalculator._setup_reaction
+
+        def crashing_setup(self, rid):
+            if rid == 1:
+                raise KeyboardInterrupt("simulated crash")
+            return real_setup_rxn(self, rid)
+
+        monkeypatch.setattr(calcmod.ASENEBCalculator, "_setup_reaction",
+                            crashing_setup)
+        with pytest.raises(KeyboardInterrupt):
+            calc1.setup_network(sd1, rd1)
+        monkeypatch.undo()
+
+        # Checkpoint exists and records the completed reaction 0
+        chk = aseio.load_calculator_checkpoint(str(calcdir))
+        assert chk is not None
+        assert rd.rhash[0].hex() in chk["ts_by_rhash"]
+        assert rd.rhash[1].hex() not in chk["ts_by_rhash"]
+
+        # Second run: reaction 0 must come from the checkpoint (its NEB is
+        # never rerun), reaction 1 completes normally.
+        import importlib
+        nebmod = importlib.import_module("kinetica_tpu.ase.neb")
+        neb_calls = []
+        real_neb = nebmod.neb
+
+        def counting_neb(*args, **kwargs):
+            neb_calls.append(1)
+            return real_neb(*args, **kwargs)
+
+        monkeypatch.setattr(calcmod, "neb", counting_neb)
+        sd2, rd2 = sd.copy(), rd.copy()
+        calc2 = make_calc(calcdir, remove_unconverged=False)
+        calc2.setup_network(sd2, rd2)
+        assert len(neb_calls) == 1          # only reaction 1 ran NEB
+        assert calc2.ts_cache["conv"] == {0: True, 1: True}
+
+        # Third run: everything restored, zero NEBs
+        neb_calls.clear()
+        sd3, rd3 = sd.copy(), rd.copy()
+        calc3 = make_calc(calcdir, remove_unconverged=False)
+        calc3.setup_network(sd3, rd3)
+        assert neb_calls == []
+        assert calc3.ts_cache["conv"] == {0: True, 1: True}
+
+    def test_inconsistent_checkpoint_rejected(self, tmp_path, network):
+        from kinetica_tpu.ase import io as aseio
+        sd, rd = network
+        calcdir = tmp_path / "chk2"
+        sd1, rd1 = sd.copy(), rd.copy()
+        calc1 = make_calc(calcdir, remove_unconverged=False)
+        calc1.setup_network(sd1, rd1)
+
+        # corrupt the checkpoint's species map -> verification must fail
+        chk = aseio.load_calculator_checkpoint(str(calcdir))
+        chk["species_smiles"]["0"] = "O=C=O"
+        aseio.save_calculator_checkpoint(str(calcdir), chk)
+
+        sd2, rd2 = sd.copy(), rd.copy()
+        calc2 = make_calc(calcdir, remove_unconverged=False)
+        calc2.setup_network(sd2, rd2)  # falls back to per-rhash artifacts
+        assert calc2.ts_cache["conv"] == {0: True, 1: True}
