@@ -158,6 +158,28 @@ def build_mass_action(rd: RxData, ns: int, dtype=jnp.float64,
     )
 
 
+def pad_reactions(net: MassActionNetwork, nr_padded: int) -> MassActionNetwork:
+    """Pad the reaction axis with inert slots up to ``nr_padded``.
+
+    Padding reactions reference only the constant-1 slot and carry zero
+    stoichiometry, so (with zero-padded rate vectors) they contribute
+    nothing to rates, RHS, or Jacobian. Used to make ``nr`` divisible by
+    a ``model``-axis mesh size for reaction-axis sharding
+    (parallel.sharding.ensemble_shardings).
+    """
+    nr, ns = net.nr, net.ns
+    if nr_padded < nr:
+        raise ValueError(f"nr_padded {nr_padded} < nr {nr}")
+    if nr_padded == nr:
+        return net
+    pad = nr_padded - nr
+    slots = jnp.concatenate(
+        [net.reac_slots,
+         jnp.full((pad, net.arity), ns, dtype=net.reac_slots.dtype)])
+    N = jnp.concatenate([net.N, jnp.zeros((pad, ns), dtype=net.N.dtype)])
+    return MassActionNetwork(reac_slots=slots, N=N)
+
+
 @partial(jax.jit, static_argnums=())
 def fd_jacobian(net: MassActionNetwork, u, k):
     """Autodiff fallback Jacobian — used in tests to validate the analytic one."""

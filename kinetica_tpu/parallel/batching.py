@@ -109,7 +109,8 @@ class EnsembleProblem:
     """
 
     def __init__(self, method: VariableODESolve, sd: SpeciesData, rd: RxData,
-                 chunk_mode: str = "auto", rate_mode: str = "discrete"):
+                 chunk_mode: str = "auto", rate_mode: str = "discrete",
+                 nr_multiple: int = 1):
         """``chunk_mode``: "scan" runs all chunks in one device program
         (lowest overhead; the right choice for CPU and for multi-chip
         dry-runs), "host" dispatches one device call per chunk, "group"
@@ -157,6 +158,14 @@ class EnsembleProblem:
 
         self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
         self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
+        # reaction-axis padding: make nr divisible by a model-axis mesh
+        # size (reaction-sharded 2-D meshes; see ensemble_shardings).
+        # Padded slots are inert and the per-step k vector is zero-padded
+        # by the wrapped prepare hook below.
+        self._nr_pad = (-self.net.nr) % max(int(nr_multiple), 1)
+        if self._nr_pad:
+            from ..models.mass_action import pad_reactions
+            self.net = pad_reactions(self.net, self.net.nr + self._nr_pad)
         jdt = _jac_dtype(pars)
         jac_net = (MassActionNetwork(self.net.reac_slots,
                                      self.net.N.astype(jdt))
@@ -183,6 +192,15 @@ class EnsembleProblem:
                 self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net)
             payload_axes = 0           # per-member theta dict
             stops_axes = 0             # per-member profile-kink stops
+        if self._nr_pad and rate_mode == "continuous":
+            # continuous k comes from the calculator at trace time: pad
+            # its output. (Discrete k-tables are padded in solve() so the
+            # SHARDED table axis itself has the padded length.)
+            inner_prepare = self.prepare
+            npad = self._nr_pad
+            self.prepare = (lambda t_stage, t_start, a:
+                            jnp.pad(inner_prepare(t_stage, t_start, a),
+                                    (0, npad)))
         self.chunkstep = pars.solve_chunkstep
         self.saveat_local, self.n_chunks = _chunk_save_grid(pars)
         self._saveat_j = jnp.asarray(self.saveat_local)
@@ -369,16 +387,29 @@ class EnsembleProblem:
         if self.rate_mode == "discrete":
             stops_rows = jnp.asarray(
                 _chunk_local_stops(tstops, self.n_chunks, self.chunkstep))
+            if self._nr_pad:
+                k_tables = np.pad(np.asarray(k_tables),
+                                  ((0, 0), (0, 0), (0, self._nr_pad)))
             payload = (jnp.asarray(tstops, dtype=self.dtype),
                        jnp.asarray(k_tables, dtype=self.dtype))
         u0s_j = jnp.asarray(u0s, dtype=self.dtype)
         if sharding is not None:
-            u0s_j = jax.device_put(u0s_j, sharding)
+            # ``sharding`` may be a NamedSharding (applied to every input —
+            # the 1-D batch-DP form) or a Mesh: with a ("batch", "model")
+            # mesh the discrete k-table also shards its reaction axis over
+            # ``model`` (see parallel.sharding.ensemble_shardings).
+            from jax.sharding import Mesh as _Mesh
+            if isinstance(sharding, _Mesh):
+                from .sharding import ensemble_shardings
+                u0_sh, k_sh = ensemble_shardings(sharding)
+            else:
+                u0_sh = k_sh = sharding
+            u0s_j = jax.device_put(u0s_j, u0_sh)
             if self.rate_mode == "discrete":
-                payload = (payload[0], jax.device_put(payload[1], sharding))
+                payload = (payload[0], jax.device_put(payload[1], k_sh))
             else:
                 payload = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sharding), payload)
+                    lambda x: jax.device_put(x, u0_sh), payload)
 
         logger.info(" - Solving %d-member ensemble (%d chunks each, %s/%s mode)...",
                     B, self.n_chunks, self.chunk_mode, self.rate_mode)

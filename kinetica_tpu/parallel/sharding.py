@@ -6,11 +6,14 @@ The reference has no distributed compute (SURVEY.md §2.10); the TPU-native
 * ensemble members (condition profiles / u0 / parameter sets) shard over
   the ``batch`` mesh axis — embarrassingly parallel, collectives-free on
   the hot path, scaling linearly over ICI;
-* optionally the reaction axis of the rate tables shards over a ``model``
-  axis: rate evaluation is then reaction-sharded and XLA inserts a single
-  ``psum`` (all-reduce over ICI) in the ``r @ N`` contraction that
-  assembles du/dt — useful once nr is large enough that a single member's
-  RHS work dominates.
+* on a 2-D ``("batch", "model")`` mesh (:func:`ensemble_shardings`), the
+  reaction axis of the discrete rate tables additionally shards over
+  ``model``: rate evaluation is then reaction-sharded and the SPMD
+  partitioner inserts the ``psum`` (all-reduce over ICI) in the
+  ``r @ N`` contraction that assembles du/dt — useful once nr is large
+  enough that a single member's RHS work dominates. Equality with the
+  1-D path is tested on an 8-device virtual mesh
+  (tests/test_parallel.py) and exercised by ``dryrun_multichip``.
 
 Validated on a virtual multi-device CPU mesh
 (``--xla_force_host_platform_device_count``); the same code runs unchanged
@@ -55,3 +58,28 @@ def shard_ensemble(mesh: Mesh, arrays, axis: str = "batch"):
     """Place a pytree of member-major arrays with the batch axis sharded."""
     sh = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), arrays)
+
+
+def ensemble_shardings(mesh: Mesh):
+    """Input shardings for an :class:`EnsembleProblem` solve over ``mesh``.
+
+    Returns ``(u0_sharding, ktable_sharding)``:
+
+    * 1-D ``("batch",)`` mesh — both shard the leading (member) axis;
+      the hot path stays collectives-free (pure data parallelism).
+    * 2-D ``("batch", "model")`` mesh — members shard over ``batch``
+      while the REACTION axis of the discrete k-table (B, n_t, nr)
+      shards over ``model``. Rate evaluation is then reaction-sharded
+      and the SPMD partitioner inserts the ``psum`` over ``model`` in
+      the ``r @ N`` contraction assembling du/dt (and in the Jacobian's
+      segment-sum). Sharding is driven purely by input placement —
+      the solver code is unchanged; XLA propagates the layout.
+
+    State (u0, solution) is replicated over ``model``: every model-rank
+    holds the full species vector, only per-reaction work is split.
+    """
+    if "model" in mesh.axis_names:
+        return (NamedSharding(mesh, P("batch")),
+                NamedSharding(mesh, P("batch", None, "model")))
+    return (NamedSharding(mesh, P("batch")),
+            NamedSharding(mesh, P("batch")))

@@ -100,6 +100,29 @@ class TestSharding:
         np.testing.assert_allclose(ens_sharded.u, ens_plain.u,
                                    rtol=1e-10, atol=1e-14)
 
+    def test_model_axis_sharding_matches_unsharded(self):
+        """2-D (batch, model) mesh: reaction axis of the k-table shards
+        over ``model`` and the SPMD partitioner inserts the psum in the
+        r @ N contraction — results must match the unsharded solve."""
+        sd, rd, mkcalc = pyrolysis()
+        tf = 7.0
+        rates = [40.0 + 10 * i for i in range(4)]
+        conditions_list = [ramp_conditions(r, tf, 0.5) for r in rates]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none")
+        mesh = make_mesh(8, axis_names=("batch", "model"), shape=(4, 2))
+        method = VariableODESolve(pars, conditions_list[0], mkcalc())
+        ens_sharded = solve_network_ensemble(
+            method, sd, rd, conditions_list=conditions_list,
+            sharding=mesh)     # Mesh -> ensemble_shardings() path
+        method2 = VariableODESolve(pars, conditions_list[0], mkcalc())
+        ens_plain = solve_network_ensemble(
+            method2, sd, rd, conditions_list=conditions_list)
+        assert ens_sharded.success
+        np.testing.assert_allclose(ens_sharded.u, ens_plain.u,
+                                   rtol=1e-10, atol=1e-14)
+
 
 class TestChunkModes:
     def test_host_mode_matches_scan_mode(self):
@@ -284,3 +307,37 @@ class TestEnsembleAdaptiveRetry:
         ens = prob.solve(conditions_list=conditions_list)
         assert n[0] == 5
         assert not ens.success
+
+
+def test_nr_padding_model_sharding_matches(monkeypatch):
+    """nr not divisible by the model axis: nr_multiple pads the reaction
+    axis with inert slots; results must match the unpadded solve."""
+    from kinetica_tpu.parallel.batching import EnsembleProblem
+    sd, rd, mkcalc = pyrolysis()          # nr = 6
+    tf = 4.0
+    conditions_list = [ramp_conditions(r, tf, 0.5) for r in
+                       (40.0, 50.0, 60.0, 70.0)]
+    pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                               solve_chunks=True, solve_chunkstep=0.5,
+                               low_k_cutoff="none")
+    mesh = make_mesh(8, axis_names=("batch", "model"), shape=(2, 4))
+    method = VariableODESolve(pars, conditions_list[0], mkcalc())
+    # nr=6 is NOT divisible by model=4 -> nr_multiple pads to 8
+    prob = EnsembleProblem(method, sd, rd, nr_multiple=4)
+    assert prob.net.nr == 8 and prob._nr_pad == 2
+    ens = prob.solve(conditions_list=conditions_list, sharding=mesh)
+    assert ens.success
+
+    method2 = VariableODESolve(pars, conditions_list[0], mkcalc())
+    plain = EnsembleProblem(method2, sd, rd).solve(
+        conditions_list=conditions_list)
+    np.testing.assert_allclose(ens.u, plain.u, rtol=1e-9, atol=1e-13)
+
+    # continuous mode exercises the padded prepare hook
+    method3 = VariableODESolve(pars, conditions_list[0], mkcalc())
+    prob_c = EnsembleProblem(method3, sd, rd, rate_mode="continuous",
+                             nr_multiple=4)
+    ens_c = prob_c.solve(conditions_list=conditions_list, sharding=mesh)
+    assert ens_c.success
+    np.testing.assert_allclose(ens_c.u[:, -1], plain.u[:, -1],
+                               rtol=1e-4, atol=1e-8)
