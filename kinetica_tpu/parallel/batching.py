@@ -172,7 +172,8 @@ class EnsembleProblem:
                    if jdt != self.dtype else None)
         if rate_mode == "discrete":
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
-                self.net, "discrete", jac_net=jac_net)
+                self.net, "discrete", jac_net=jac_net,
+                analytic_jac=pars.jac)
             payload_axes = (None, 0)   # (shared tstops, per-member k table)
             stops_axes = None          # shared stop grid
         else:
@@ -189,7 +190,8 @@ class EnsembleProblem:
                 return calc(**bound)
 
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
-                self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net)
+                self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net,
+                analytic_jac=pars.jac)
             payload_axes = 0           # per-member theta dict
             stops_axes = 0             # per-member profile-kink stops
         if self._nr_pad and rate_mode == "continuous":

@@ -146,7 +146,8 @@ def _jac_dtype(pars: ODESimulationParams | None = None):
     return jnp.float64 if choice == "float64" else jnp.float32
 
 
-def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None):
+def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
+                  analytic_jac: bool = True):
     """Build ``(rhs, jac, prepare)`` for :func:`bdf.bdf_solve`.
 
     ``prepare(t_stage, t_start, args)`` evaluates the rate-constant vector
@@ -184,8 +185,16 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None):
     def rhs(t, u, k):
         return net.rhs(u, k)
 
-    def jac(t, u, k):
-        return jnet.jac(u.astype(jdt), k.astype(jdt))
+    if analytic_jac:
+        def jac(t, u, k):
+            return jnet.jac(u.astype(jdt), k.astype(jdt))
+    else:
+        # pars.jac=False: forward-mode autodiff Jacobian of the same RHS
+        # (the reference's jac=false lets the solver derive the Jacobian;
+        # here that is jacfwd through the mass-action model)
+        def jac(t, u, k):
+            kk = k.astype(jdt)
+            return jax.jacfwd(lambda uu: jnet.rhs(uu, kk))(u.astype(jdt))
 
     return rhs, jac, prepare
 
@@ -476,21 +485,24 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
     k_series = None
     if update_mode == "static":
         k_vec = jnp.asarray(get_initial_rates(conditions, calc), dtype=dtype)
-        rhs, jac, prepare = _make_rhs_jac(net, "static", jac_net=jac_net)
+        rhs, jac, prepare = _make_rhs_jac(net, "static", jac_net=jac_net,
+                                          analytic_jac=pars.jac)
         payload = k_vec
         global_stops = None
     elif update_mode == "discrete":
         logger.info(" - Pre-calculating rate constants at discrete time intervals.")
         with timed("solve.rate_precalc"):
             tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
-        rhs, jac, prepare = _make_rhs_jac(net, "discrete", jac_net=jac_net)
+        rhs, jac, prepare = _make_rhs_jac(net, "discrete", jac_net=jac_net,
+                                              analytic_jac=pars.jac)
         payload = (jnp.asarray(tstops, dtype=dtype), jnp.asarray(k_table, dtype=dtype))
         global_stops = tstops
         k_series = TimeSeries(tstops, k_table)
     else:
         k_fn = _make_continuous_k_fn(conditions, calc)
         rhs, jac, prepare = _make_rhs_jac(net, "continuous", k_fn=k_fn,
-                                          jac_net=jac_net)
+                                          jac_net=jac_net,
+                                          analytic_jac=pars.jac)
         payload = None
         global_stops = np.asarray(conditions.get_tstops())
 

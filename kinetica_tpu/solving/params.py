@@ -81,3 +81,14 @@ class ODESimulationParams:
         if self.jac_dtype not in ("auto", "float32", "float64"):
             raise ValueError(
                 "jac_dtype must be one of ['auto', 'float32', 'float64']")
+
+        # Sparse Newton matrices are a CPU/KLU concept (reference
+        # params.jl:55-110); on TPU the dense path IS the fast path (MXU
+        # matmuls, Pallas dense inverse) and no sparse factorisation
+        # exists. Reject rather than silently ignore.
+        if self.sparse:
+            raise ValueError(
+                "sparse=True is not supported by the TPU-native solver "
+                "stack: Newton systems are dense by design (the MXU has no "
+                "sparse path and XLA provides no sparse LU). Use the "
+                "default sparse=False.")

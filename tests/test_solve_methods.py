@@ -314,3 +314,28 @@ def test_jac_dtype_float32_matches_full_precision():
 def test_jac_dtype_validation():
     with pytest.raises(ValueError, match="jac_dtype"):
         ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0}, jac_dtype="f16")
+
+
+class TestJacSparseParams:
+    """pars.jac / pars.sparse have defined behaviour (params.jl:55-110)."""
+
+    def test_sparse_rejected(self):
+        with pytest.raises(ValueError, match="sparse"):
+            ODESimulationParams(tspan=(0.0, 1.0), u0={"C": 1.0}, sparse=True)
+
+    def test_autodiff_jacobian_matches_analytic(self):
+        sd, rd, calc = pyrolysis_network()
+        conditions = ConditionSet({"T": 1200.0})
+        common = dict(tspan=(0.0, 2.0), u0={"C": 1.0}, solve_chunks=True,
+                      solve_chunkstep=0.25, low_k_cutoff="none")
+        res_an = solve_network(
+            StaticODESolve(ODESimulationParams(jac=True, **common),
+                           conditions, calc), sd, rd)
+        res_ad = solve_network(
+            StaticODESolve(ODESimulationParams(jac=False, **common),
+                           conditions, calc), sd, rd)
+        assert res_ad.sol.success
+        # the Jacobian only preconditions Newton: same fixed point, so the
+        # two solves agree at solution accuracy
+        np.testing.assert_allclose(res_ad.sol.u, res_an.sol.u,
+                                   rtol=1e-6, atol=1e-10)
