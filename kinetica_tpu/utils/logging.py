@@ -41,13 +41,27 @@ def start_log(logdir: str, label: str = "Kinetica", min_level: int = logging.INF
     return path
 
 
-def end_log() -> None:
-    """Detach and close the most recently started file log."""
-    if _file_handlers:
+def end_log(log: str | None = None) -> None:
+    """Detach and close a file log started by :func:`start_log`.
+
+    With no argument, closes the most recently started log; passing the
+    path returned by ``start_log`` closes that specific log (the
+    reference's ``end_log(logger)`` form, logging.jl:29-40).
+    """
+    if not _file_handlers:
+        return
+    if log is not None:
+        matches = [fh for fh in _file_handlers
+                   if getattr(fh, "baseFilename", None) == os.path.abspath(log)]
+        if not matches:
+            raise ValueError(f"no active file log at {log!r}")
+        fh = matches[-1]
+        _file_handlers.remove(fh)
+    else:
         fh = _file_handlers.pop()
-        fh.flush()
-        fh.close()
-        logger.removeHandler(fh)
+    fh.flush()
+    fh.close()
+    logger.removeHandler(fh)
 
 
 def flush_log() -> None:
