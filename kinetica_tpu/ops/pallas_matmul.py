@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: f64-accurate mass-action RHS contraction du = r @ N.
+
+Motivation (measured on TPU, nc=24 CRN: 1095 reactions, 73 species,
+64-member vmapped batch): XLA emulates the f64 ``dot_general`` in the RHS
+with an 8x4-way f32 splitting; in *isolation* that costs ~145 us/eval,
+but inside the BDF Newton ``while_loop`` the same contraction degrades to
+~7 ms/eval (~70% of the whole integrator's step cost — step-cost ablation
+in scripts/ablate.py). The double emulation + loop context defeats XLA's
+fusion and materialises the (8, B, nr, ns) splitting intermediate every
+Newton iteration.
+
+The TPU-native fix exploits CRN structure: the stoichiometry matrix N
+holds SMALL INTEGERS (|N_ij| <= ~4, exactly representable in 3 bits), so
+an f64-accurate product r_j * N_js needs no 53x53-bit multiply. Split
+each f64 rate into three f32 slices
+
+    r = r0 + r1 + r2,   r0/r1: 21-bit mantissas (chopped), r2: f32 rest
+
+so every slice product with N is EXACT in f32 (21+3 <= 24 bits), and
+accumulate over reactions on the VPU with TwoSum compensation for the two
+leading slices (plain f32 accumulation suffices for r2: |r2| <= 2^-42 |r|).
+Everything lives in VMEM; a host-side ``lax.scan`` chains one compiled
+DD_CHUNK-reaction kernel over the reaction axis (compile time stays
+constant in nr), carrying the f32 accumulator quadruple between launches.
+
+Accuracy: |error| ~ n * u32^2 * max_j |r_j N_js| ~ 1e-13 relative to the
+largest accumulated term — the same order as emulated-f64's ~3e-15 for
+this contraction, and far below the integrator's Newton/error-test
+tolerances (validated against the f64 path in tests/test_pallas_matmul.py
+and end-to-end vs scipy BDF in bench.py).
+
+Layout: the kernel computes the TRANSPOSED contraction
+
+    duT[s, b] = sum_j NT[s, j] * rT[j, b]
+
+with species on sublanes and batch members on lanes, so each (statically
+unrolled) reaction step is a pure broadcast outer product
+``NT[:, j:j+1] * rT[j:j+1, :]`` — no transposes, gathers, or dynamic
+slices inside the kernel (Mosaic constraints as in pallas_linalg.py:
+grid-less because the grid machinery captures i64 under x64; the
+per-chunk reaction loop is unrolled over the static DD_CHUNK).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUBLANE = 8
+# max |stoichiometry| that keeps 21-bit slice products exact in f32
+MAX_EXACT_STOICH = 7
+
+
+def _pad_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def split3(r: jnp.ndarray):
+    """f64 -> three f32 slices (r0, r1, r2); r0/r1 have 21-bit mantissas.
+
+    Chopping (not rounding) the low 3 mantissa bits keeps each slice's
+    product with a small-integer N exact in f32; the remainders are exact
+    because each is representable in the next slice's width.
+
+    Domain: exact for 1e-21 <~ |r| <~ 1e30 (f32 exponent range shifted
+    by the slice offsets; XLA flushes f32 subnormals, so slices vanish
+    below f32 min normal). Outside that the absolute error stays below
+    ~1.2e-38 — negligible for mass-action rates, which are bounded by
+    k_max * conc^2. Above ~1e30 the result would round at slice
+    granularity; DDContraction callers keep rates far below this.
+    """
+    chop = jnp.int32(-8)  # ~0x7: clear low 3 mantissa bits
+
+    def chop21(x32):
+        return lax.bitcast_convert_type(
+            lax.bitcast_convert_type(x32, jnp.int32) & chop, jnp.float32)
+
+    r0 = chop21(r.astype(jnp.float32))
+    rem1 = r - r0.astype(r.dtype)
+    r1 = chop21(rem1.astype(jnp.float32))
+    r2 = (rem1 - r1.astype(r.dtype)).astype(jnp.float32)
+    return r0, r1, r2
+
+
+# reactions per kernel launch: the kernel body is a static unroll, so the
+# Mosaic program size (and compile time) scales with CHUNK, not nr —
+# a host-side lax.scan chains launches, carrying the accumulators
+DD_CHUNK = 128
+
+
+def _dd_chunk_kernel(chunk: int, nt_ref, r0_ref, r1_ref, r2_ref,
+                     hi_in, lo_in, er_in, sl_in,
+                     hi_out, lo_out, er_out, sl_out):
+    """One CHUNK of the compensated contraction duT += NT_c @ rT_c.
+
+    nt_ref: (ns_pad, chunk); r*_ref: (chunk, B); accumulators (ns_pad, B).
+    The reaction loop is a python unroll (static chunk) of broadcast outer
+    products; TwoSum (Knuth) tracks the exact rounding error of the two
+    leading slices' running sums. Zero-padded reactions are exact no-ops.
+    """
+    hi = hi_in[:]
+    lo = lo_in[:]
+    err_acc = er_in[:]
+    sl = sl_in[:]
+
+    for j in range(chunk):
+        ncol = nt_ref[:, j:j + 1]            # (ns_pad, 1) static lane slice
+        p = ncol * r0_ref[j:j + 1, :]        # exact products, slice 0
+        q = ncol * r1_ref[j:j + 1, :]        # exact products, slice 1
+        # TwoSum(hi, p): s = hi + p with exact error e
+        s = hi + p
+        bp = s - hi
+        e = (hi - (s - bp)) + (p - bp)
+        hi = s
+        # TwoSum(lo, q)
+        t = lo + q
+        bq = t - lo
+        f = (lo - (t - bq)) + (q - bq)
+        lo = t
+        err_acc = err_acc + (e + f)
+        sl = sl + ncol * r2_ref[j:j + 1, :]
+
+    hi_out[:] = hi
+    lo_out[:] = lo
+    er_out[:] = err_acc
+    sl_out[:] = sl
+
+
+def _dd_call(NT32: jnp.ndarray, rT: jnp.ndarray, nr: int,
+             interpret: bool = False):
+    """(ns_pad, nr_pad) x (nr_pad, B) -> f64 (B, ns_pad).
+
+    nr_pad must be a multiple of DD_CHUNK; the scan compiles ONE chunk
+    kernel and reuses it across all reaction chunks.
+    """
+    ns_pad, nr_pad = NT32.shape
+    B = rT.shape[1]
+    assert nr_pad % DD_CHUNK == 0
+    nchunk = nr_pad // DD_CHUNK
+    r0, r1, r2 = split3(rT)
+
+    acc_shape = jax.ShapeDtypeStruct((ns_pad, B), jnp.float32)
+    kernel = pl.pallas_call(
+        functools.partial(_dd_chunk_kernel, DD_CHUNK),
+        out_shape=(acc_shape,) * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
+        interpret=interpret,
+    )
+
+    nt_c = NT32.reshape(ns_pad, nchunk, DD_CHUNK).transpose(1, 0, 2)
+    r0_c = r0.reshape(nchunk, DD_CHUNK, B)
+    r1_c = r1.reshape(nchunk, DD_CHUNK, B)
+    r2_c = r2.reshape(nchunk, DD_CHUNK, B)
+
+    zero = jnp.zeros((ns_pad, B), jnp.float32)
+
+    def body(carry, xs):
+        ntc, a, b, c = xs
+        return kernel(ntc, a, b, c, *carry), None
+
+    (hi, lo, er, sl), _ = lax.scan(body, (zero, zero, zero, zero),
+                                   (nt_c, r0_c, r1_c, r2_c))
+    du = (hi.astype(jnp.float64) + lo.astype(jnp.float64)
+          + er.astype(jnp.float64) + sl.astype(jnp.float64))
+    return du.T
+
+
+@functools.lru_cache(maxsize=64)
+def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int):
+    """Build the (r, NT) -> du primitive pair for one problem geometry.
+
+    Cached per (nr, ns, nr_pad, max_batch) so identical network shapes
+    share one custom_vmap/custom_jvp identity (and its compiled kernels).
+    """
+
+    @jax.custom_jvp
+    def matmul_b(rb, NT):                  # (B, nr) f64 -> (B, ns) f64
+        B = rb.shape[0]
+        rT = jnp.zeros((nr_pad, B), rb.dtype).at[:nr, :].set(rb.T)
+        return _dd_call(NT, rT, nr)[:, :ns]
+
+    @matmul_b.defjvp
+    def _jvp(primals, tangents):
+        (rb, NT), (drb, _) = primals, tangents
+        # linear map: tangent is the same contraction; plain f64 dot is
+        # fine off the hot path (and exact to f64 for tangents)
+        return (matmul_b(rb, NT),
+                drb @ NT.T[:nr, :ns].astype(drb.dtype))
+
+    @jax.custom_batching.custom_vmap
+    def matmul(r, NT):                     # (nr,) f64 -> (ns,) f64
+        return matmul_b(r[None], NT)[0]
+
+    @matmul.def_vmap
+    def _vmap_rule(axis_size, in_batched, rb, NT):
+        del axis_size
+        assert in_batched[0], in_batched
+        if in_batched[1]:
+            # batched lax.cond broadcasts every branch operand, including
+            # the (lane-invariant) stoichiometry — undo the broadcast
+            NT = NT[0]
+        lead = rb.shape[:-1]
+        flat = rb.reshape((-1, rb.shape[-1]))
+        if flat.shape[0] > max_batch:
+            nchunk = -(-flat.shape[0] // max_batch)
+            Bp = nchunk * max_batch
+            pad = jnp.zeros((Bp, flat.shape[1]), flat.dtype)
+            pad = pad.at[:flat.shape[0]].set(flat)
+            out = lax.map(lambda a: matmul_b(a, NT),
+                          pad.reshape(nchunk, max_batch, -1))
+            out = out.reshape(Bp, -1)[:flat.shape[0]]
+        else:
+            out = matmul_b(flat, NT)
+        return out.reshape(lead + (ns,)), in_batched[0]
+
+    return matmul
+
+
+class DDContraction:
+    """Precompiled f64-accurate ``r @ N`` for one stoichiometry matrix.
+
+    Built once per network (host side); ``__call__(r)`` accepts (nr,) or
+    (B, nr) f64 rates and returns f64 (.., ns). Under vmap the batch is
+    vectorized inside one kernel launch (lanes); under forward-mode AD the
+    tangent uses the linearity of the contraction.
+    """
+
+    def __init__(self, N: jnp.ndarray, max_batch: int = 512):
+        import numpy as np
+        Nh = np.asarray(N, dtype=np.float64)
+        if Nh.size and np.abs(Nh).max() > MAX_EXACT_STOICH:
+            raise ValueError(
+                f"stoichiometry magnitudes above {MAX_EXACT_STOICH} break "
+                "the exact-product slice width; use the f64 path")
+        if Nh.size and np.any(Nh != np.round(Nh)):
+            raise ValueError("DDContraction requires integer stoichiometry")
+        nr, ns = Nh.shape
+        self.nr, self.ns = nr, ns
+        self.nr_pad = _pad_up(max(nr, DD_CHUNK), DD_CHUNK)
+        self.ns_pad = _pad_up(max(ns, SUBLANE), SUBLANE)
+        self.max_batch = max_batch
+        NT = np.zeros((self.ns_pad, self.nr_pad), dtype=np.float32)
+        NT[:ns, :nr] = Nh.T
+        self._NT = jnp.asarray(NT)
+
+        # NT rides through every closure as an explicit ARGUMENT, never a
+        # captured const: cond/while batching closure-converts captured
+        # arrays into (possibly batched) consts of the custom_vmap call,
+        # which the custom_vmap machinery rejects (assert consts_batched).
+        self._matmul = _make_dd_matmul(nr, ns, self.nr_pad, max_batch)
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        if r.ndim == 1:
+            return self._matmul(r, self._NT)
+        return jax.vmap(self._matmul, in_axes=(0, None))(
+            r.reshape((-1, r.shape[-1])), self._NT).reshape(
+                r.shape[:-1] + (self.ns,))
+
+
+def dd_reference(r: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA reference of the sliced-compensated contraction (any
+    backend; used by tests and as the CPU fallback path)."""
+    r0, r1, r2 = split3(r)
+    N32 = N.astype(jnp.float32)
+
+    def acc_slice(rs):
+        # f32 products are exact; accumulate in f64 (CPU: native f64)
+        return (rs.astype(jnp.float64) @ N32.astype(jnp.float64))
+
+    return acc_slice(r0) + acc_slice(r1) + acc_slice(r2)

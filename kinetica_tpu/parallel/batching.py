@@ -167,13 +167,15 @@ class EnsembleProblem:
             from ..models.mass_action import pad_reactions
             self.net = pad_reactions(self.net, self.net.nr + self._nr_pad)
         jdt = _jac_dtype(pars)
+        from ..solving.methods import _resolve_contraction
+        contraction = _resolve_contraction(self.net, pars)
         jac_net = (MassActionNetwork(self.net.reac_slots,
                                      self.net.N.astype(jdt))
                    if jdt != self.dtype else None)
         if rate_mode == "discrete":
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "discrete", jac_net=jac_net,
-                analytic_jac=pars.jac)
+                analytic_jac=pars.jac, contraction=contraction)
             payload_axes = (None, 0)   # (shared tstops, per-member k table)
             stops_axes = None          # shared stop grid
         else:
@@ -191,7 +193,7 @@ class EnsembleProblem:
 
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net,
-                analytic_jac=pars.jac)
+                analytic_jac=pars.jac, contraction=contraction)
             payload_axes = 0           # per-member theta dict
             stops_axes = 0             # per-member profile-kink stops
         if self._nr_pad and rate_mode == "continuous":

@@ -146,8 +146,37 @@ def _jac_dtype(pars: ODESimulationParams | None = None):
     return jnp.float64 if choice == "float64" else jnp.float32
 
 
+def _resolve_contraction(net: MassActionNetwork, pars=None):
+    """Pick the RHS contraction implementation for ``du = r @ N``.
+
+    Returns a callable ``r -> du`` or None (plain dense dot). "auto"
+    selects the Pallas sliced-compensated kernel (ops/pallas_matmul.py)
+    on accelerators for f64 networks: XLA's emulated-f64 ``dot_general``
+    degrades ~50x inside the Newton while-loop (scripts/ablate.py), while
+    the kernel holds ~120 us/eval at 1095 reactions with ~1e-13 relative
+    accuracy. CPU keeps the native f64 dot.
+    """
+    choice = getattr(pars, "rhs_contraction", "auto") if pars else "auto"
+    if choice == "float64":
+        return None
+    if choice == "auto":
+        if jax.default_backend() == "cpu":
+            return None
+        if net.N.dtype != jnp.float64:
+            return None    # f32 solves: the plain f32 dot is already fast
+    from ..ops.pallas_matmul import DDContraction
+    try:
+        return DDContraction(net.N)
+    except ValueError as exc:
+        if choice == "dd":
+            raise
+        logger.info(" - dd contraction unavailable (%s); keeping f64 dot",
+                    exc)
+        return None
+
+
 def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
-                  analytic_jac: bool = True):
+                  analytic_jac: bool = True, contraction=None):
     """Build ``(rhs, jac, prepare)`` for :func:`bdf.bdf_solve`.
 
     ``prepare(t_stage, t_start, args)`` evaluates the rate-constant vector
@@ -182,8 +211,12 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
     else:  # pragma: no cover
         raise ValueError(mode)
 
-    def rhs(t, u, k):
-        return net.rhs(u, k)
+    if contraction is None:
+        def rhs(t, u, k):
+            return net.rhs(u, k)
+    else:
+        def rhs(t, u, k):
+            return contraction(net.rates(u, k))
 
     if analytic_jac:
         def jac(t, u, k):
@@ -480,13 +513,15 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
 
     update_mode = ("discrete" if (is_variable and conditions.discrete_updates)
                    else ("continuous" if is_variable else "static"))
+    contraction = _resolve_contraction(net, pars)
 
     # --- rate specification ---
     k_series = None
     if update_mode == "static":
         k_vec = jnp.asarray(get_initial_rates(conditions, calc), dtype=dtype)
         rhs, jac, prepare = _make_rhs_jac(net, "static", jac_net=jac_net,
-                                          analytic_jac=pars.jac)
+                                          analytic_jac=pars.jac,
+                                          contraction=contraction)
         payload = k_vec
         global_stops = None
     elif update_mode == "discrete":
@@ -494,7 +529,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
         with timed("solve.rate_precalc"):
             tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
         rhs, jac, prepare = _make_rhs_jac(net, "discrete", jac_net=jac_net,
-                                              analytic_jac=pars.jac)
+                                          analytic_jac=pars.jac,
+                                          contraction=contraction)
         payload = (jnp.asarray(tstops, dtype=dtype), jnp.asarray(k_table, dtype=dtype))
         global_stops = tstops
         k_series = TimeSeries(tstops, k_table)
@@ -502,7 +538,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
         k_fn = _make_continuous_k_fn(conditions, calc)
         rhs, jac, prepare = _make_rhs_jac(net, "continuous", k_fn=k_fn,
                                           jac_net=jac_net,
-                                          analytic_jac=pars.jac)
+                                          analytic_jac=pars.jac,
+                                          contraction=contraction)
         payload = None
         global_stops = np.asarray(conditions.get_tstops())
 
