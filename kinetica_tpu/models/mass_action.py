@@ -131,6 +131,30 @@ class MassActionNetwork:
     def rhs_and_jac(self, u, k):
         return self.rhs(u, k), self.jac(u, k)
 
+    def rates_pair(self, u, k_pair):
+        """Per-reaction rates in double-f32 pair form (TPU hot path).
+
+        ``k_pair = (k_hi, k_lo)`` f32 arrays (split once per step by the
+        integrator's prepare hook). The whole evaluation — gather, arity
+        product, k scaling — runs in error-free-transformed f32 pair
+        arithmetic (~2^-45 relative, ops/dd.py), avoiding every f64
+        elementwise op over the (nr,)-sized axis; downstream the pair
+        feeds the sliced-compensated contraction kernel. Semantics match
+        :meth:`rates` (clipped-nonnegative concentrations).
+        """
+        from ..ops import dd
+
+        u_aug = jnp.concatenate([jnp.maximum(u, 0.0),
+                                 jnp.ones((1,), dtype=u.dtype)])
+        uh, ul = dd.pair_from_f64(u_aug)
+        kh, kl = k_pair
+        rh, rl = kh, kl
+        for s in range(self.arity):
+            sh = uh[self.reac_slots[:, s]]
+            sl_ = ul[self.reac_slots[:, s]]
+            rh, rl = dd.pair_mul(rh, rl, sh, sl_)
+        return rh, rl
+
 
 def build_mass_action(rd: RxData, ns: int, dtype=jnp.float64,
                       min_arity: int = 2) -> MassActionNetwork:

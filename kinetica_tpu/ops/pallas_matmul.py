@@ -138,11 +138,17 @@ def _dd_call(NT32: jnp.ndarray, rT: jnp.ndarray, nr: int,
     nr_pad must be a multiple of DD_CHUNK; the scan compiles ONE chunk
     kernel and reuses it across all reaction chunks.
     """
+    del nr
+    return _dd_call_slices(NT32, *split3(rT), interpret=interpret)
+
+
+def _dd_call_slices(NT32: jnp.ndarray, r0, r1, r2, interpret: bool = False):
+    """Kernel driver taking the three f32 slices directly — shared by the
+    f64 entry (split3) and the pair entry (dd.pair_chop_slices)."""
     ns_pad, nr_pad = NT32.shape
-    B = rT.shape[1]
+    B = r0.shape[1]
     assert nr_pad % DD_CHUNK == 0
     nchunk = nr_pad // DD_CHUNK
-    r0, r1, r2 = split3(rT)
 
     acc_shape = jax.ShapeDtypeStruct((ns_pad, B), jnp.float32)
     kernel = pl.pallas_call(
@@ -219,7 +225,41 @@ def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int):
             out = matmul_b(flat, NT)
         return out.reshape(lead + (ns,)), in_batched[0]
 
-    return matmul
+    def pair_b(rh, rl, NT):                # (B, nr) f32 pair -> (B, ns) f64
+        from . import dd as _dd
+        B = rh.shape[0]
+        z = jnp.zeros((nr_pad, B), jnp.float32)
+        s0, s1, s2 = _dd.pair_chop_slices(rh.T, rl.T)
+        return _dd_call_slices(NT, z.at[:nr].set(s0), z.at[:nr].set(s1),
+                               z.at[:nr].set(s2))[:, :ns]
+
+    @jax.custom_batching.custom_vmap
+    def matmul_pair(rh, rl, NT):           # (nr,) f32 pair -> (ns,) f64
+        return pair_b(rh[None], rl[None], NT)[0]
+
+    @matmul_pair.def_vmap
+    def _pair_vmap_rule(axis_size, in_batched, rh, rl, NT):
+        del axis_size
+        assert in_batched[0] and in_batched[1], in_batched
+        if in_batched[2]:
+            NT = NT[0]                     # batched-cond broadcast: undo
+        lead = rh.shape[:-1]
+        fh = rh.reshape((-1, rh.shape[-1]))
+        fl = rl.reshape((-1, rl.shape[-1]))
+        if fh.shape[0] > max_batch:
+            nchunk = -(-fh.shape[0] // max_batch)
+            Bp = nchunk * max_batch
+            padh = jnp.zeros((Bp, fh.shape[1]), fh.dtype).at[:fh.shape[0]].set(fh)
+            padl = jnp.zeros((Bp, fl.shape[1]), fl.dtype).at[:fl.shape[0]].set(fl)
+            out = lax.map(lambda ab: pair_b(ab[0], ab[1], NT),
+                          (padh.reshape(nchunk, max_batch, -1),
+                           padl.reshape(nchunk, max_batch, -1)))
+            out = out.reshape(Bp, -1)[:fh.shape[0]]
+        else:
+            out = pair_b(fh, fl, NT)
+        return out.reshape(lead + (ns,)), True
+
+    return matmul, matmul_pair
 
 
 class DDContraction:
@@ -253,7 +293,10 @@ class DDContraction:
         # captured const: cond/while batching closure-converts captured
         # arrays into (possibly batched) consts of the custom_vmap call,
         # which the custom_vmap machinery rejects (assert consts_batched).
-        self._matmul = _make_dd_matmul(nr, ns, self.nr_pad, max_batch)
+        self._matmul, self._matmul_pair = _make_dd_matmul(
+            nr, ns, self.nr_pad, max_batch)
+
+    supports_pair = True
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         if r.ndim == 1:
@@ -261,6 +304,11 @@ class DDContraction:
         return jax.vmap(self._matmul, in_axes=(0, None))(
             r.reshape((-1, r.shape[-1])), self._NT).reshape(
                 r.shape[:-1] + (self.ns,))
+
+    def contract_pair(self, r_hi: jnp.ndarray, r_lo: jnp.ndarray):
+        """du (f64) from (nr,) double-f32 pair rates — no f64 inputs at
+        all; pairs come from MassActionNetwork.rates_pair."""
+        return self._matmul_pair(r_hi, r_lo, self._NT)
 
 
 def dd_reference(r: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:

@@ -211,22 +211,47 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
     else:  # pragma: no cover
         raise ValueError(mode)
 
-    if contraction is None:
-        def rhs(t, u, k):
-            return net.rhs(u, k)
-    else:
+    pair_mode = contraction is not None and getattr(contraction,
+                                                    "supports_pair", False)
+    if pair_mode:
+        # k is split into a double-f32 pair ONCE per step attempt (the
+        # prepare hook); rhs/jac then touch no f64 over the (nr,) axis —
+        # the dominant in-situ cost of the emulated-f64 elementwise path.
+        from ..ops.dd import pair_from_f64
+        inner_prepare = prepare
+
+        def prepare(t_stage, t_start, a):
+            return pair_from_f64(inner_prepare(t_stage, t_start, a))
+
+        def rhs(t, u, k_pair):
+            return contraction.contract_pair(*net.rates_pair(u, k_pair))
+
+        def k_for_jac(k_pair):
+            if jdt == jnp.float32:
+                return k_pair[0]
+            return k_pair[0].astype(jdt) + k_pair[1].astype(jdt)
+    elif contraction is not None:
         def rhs(t, u, k):
             return contraction(net.rates(u, k))
 
+        def k_for_jac(k):
+            return k.astype(jdt)
+    else:
+        def rhs(t, u, k):
+            return net.rhs(u, k)
+
+        def k_for_jac(k):
+            return k.astype(jdt)
+
     if analytic_jac:
         def jac(t, u, k):
-            return jnet.jac(u.astype(jdt), k.astype(jdt))
+            return jnet.jac(u.astype(jdt), k_for_jac(k))
     else:
         # pars.jac=False: forward-mode autodiff Jacobian of the same RHS
         # (the reference's jac=false lets the solver derive the Jacobian;
         # here that is jacfwd through the mass-action model)
         def jac(t, u, k):
-            kk = k.astype(jdt)
+            kk = k_for_jac(k)
             return jax.jacfwd(lambda uu: jnet.rhs(uu, kk))(u.astype(jdt))
 
     return rhs, jac, prepare

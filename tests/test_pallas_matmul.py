@@ -117,3 +117,57 @@ class TestKernelDevice:
         scale = (np.abs(np.asarray(r))[:, :, None]
                  * np.abs(np.asarray(N))).sum(axis=1).max()
         np.testing.assert_allclose(got, ref, atol=1e-12 * scale, rtol=1e-11)
+
+
+class TestPairArithmetic:
+    def test_rates_pair_matches_f64(self):
+        from kinetica_tpu.models.mass_action import build_mass_action
+        from kinetica_tpu.ops.dd import pair_from_f64, pair_to_f64
+        from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+        sd, rd, Ea, A = synthetic_pyrolysis_network(8)
+        net = build_mass_action(rd, sd.n, dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.uniform(0, 1, sd.n))
+        k = jnp.asarray(10.0 ** rng.uniform(-2, 10, net.nr))
+        rh, rl = net.rates_pair(u, pair_from_f64(k))
+        got = np.asarray(pair_to_f64(rh, rl))
+        ref = np.asarray(net.rates(u, k))
+        np.testing.assert_allclose(got, ref, rtol=3e-14, atol=0)
+
+    def test_pair_chop_slices_cover_pair(self):
+        from kinetica_tpu.ops.dd import (pair_chop_slices, pair_from_f64,
+                                         pair_to_f64)
+        rng = np.random.default_rng(4)
+        r = jnp.asarray(10.0 ** rng.uniform(-18, 10, 2048)
+                        * rng.choice([-1, 1], 2048))
+        hi, lo = pair_from_f64(r)
+        s0, s1, s2 = pair_chop_slices(hi, lo)
+        rec = (s0.astype(jnp.float64) + s1.astype(jnp.float64)
+               + s2.astype(jnp.float64))
+        err = np.abs(np.asarray(rec - r)) / np.abs(np.asarray(r))
+        assert err.max() < 2 ** -44
+
+    def test_two_prod_exact(self):
+        from kinetica_tpu.ops.dd import two_prod
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.uniform(-1e6, 1e6, 1024), jnp.float32)
+        b = jnp.asarray(rng.uniform(-1e-3, 1e-3, 1024), jnp.float32)
+        p, e = two_prod(a, b)
+        exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        np.testing.assert_array_equal(got, exact)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="real Pallas kernel needs TPU")
+class TestPairKernelDevice:
+    def test_contract_pair_matches_f64(self):
+        from kinetica_tpu.ops.dd import pair_from_f64
+        N, r = make_problem(nr=311, ns=73, B=16)
+        dd = DDContraction(N)
+        hi, lo = pair_from_f64(r)
+        got = np.asarray(jax.vmap(dd.contract_pair)(hi, lo))
+        ref = np.asarray(r @ N)
+        scale = (np.abs(np.asarray(r))[:, :, None]
+                 * np.abs(np.asarray(N))).sum(axis=1).max()
+        np.testing.assert_allclose(got, ref, atol=1e-12 * scale, rtol=1e-10)
