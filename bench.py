@@ -155,12 +155,31 @@ def main():
     sys.stderr.write(f"bench: max mole-fraction error vs CPU BDF: {err:.2e}\n")
     assert err < 1e-2, "accuracy gate failed"
 
+    # per-step cost telemetry (VERDICT r1 #9): integrator step counts ride
+    # in EnsembleSolution.stats, so round-over-round perf claims are
+    # self-documenting
+    steps = np.asarray(ens.stats.get("n_steps", []))
+    ms_per_step = (sweep_dt * 1e3 / steps.max()) if steps.size else None
+    if ms_per_step is not None:
+        sys.stderr.write(
+            f"bench: steps/profile max={int(steps.max())} "
+            f"median={int(np.median(steps))}; device {ms_per_step:.2f} "
+            "ms/step (batch-synchronous)\n")
+
     speedup = cpu_dt / per_profile
     print(json.dumps({
         "metric": "pyrolysis_crn_variable_T_solve_per_profile_speedup",
         "value": round(speedup, 3),
         "unit": "x_vs_cpu_bdf",
         "vs_baseline": round(speedup, 3),
+        "extra": {
+            "crn": f"{rd.nr}rxn/{sd.n}sp", "batch": BATCH,
+            "per_profile_ms": round(per_profile * 1e3, 1),
+            "cpu_baseline_s": round(cpu_dt, 2),
+            "max_molefrac_err": float(err),
+            "ms_per_step": (round(ms_per_step, 3)
+                            if ms_per_step is not None else None),
+        },
     }))
 
 

@@ -231,13 +231,13 @@ class EnsembleProblem:
                     first_step=h_prev, prepare=prepare,
                     args=(nc * chunkstep, payload))
                 return (res.y_final, jnp.minimum(worst, res.status),
-                        res.h), res.ys
+                        res.h), (res.ys, res.n_steps)
 
-            (_, worst, _), ys = jax.lax.scan(
+            (_, worst, _), (ys, steps) = jax.lax.scan(
                 body, (u0, jnp.asarray(bdf.DONE, jnp.int32),
                        jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))),
                 (chunk_ids, stops_rows))
-            return worst, ys
+            return worst, ys, jnp.sum(steps)
 
         # tolerances are per-member (B,) vectors: the adaptive retry loop
         # tightens only the failed lanes (see solve()), so tol axes are 0
@@ -255,7 +255,7 @@ class EnsembleProblem:
                 lu_precision=pars_ref.lu_precision,
                 first_step=h_prev, prepare=prepare,
                 args=(nc * chunkstep, payload))
-            return res.y_final, res.h, res.status, res.ys
+            return res.y_final, res.h, res.status, res.ys, res.n_steps
 
         self._chunk_fn = jax.jit(
             jax.vmap(member_chunk,
@@ -276,12 +276,12 @@ class EnsembleProblem:
                     first_step=h_prev, prepare=prepare,
                     args=(nc * chunkstep, payload))
                 return (res.y_final, jnp.minimum(worst, res.status),
-                        res.h), res.ys
+                        res.h), (res.ys, res.n_steps)
 
-            (u_f, worst, h_f), ys = jax.lax.scan(
+            (u_f, worst, h_f), (ys, steps) = jax.lax.scan(
                 body, (u0, jnp.asarray(bdf.DONE, jnp.int32), h0),
                 (ncs, stops_rows))
-            return u_f, h_f, worst, ys
+            return u_f, h_f, worst, ys, jnp.sum(steps)
 
         # stops rows are per-chunk: slice axis 0 (discrete/shared) or
         # axis 1 (continuous/per-member) when grouping
@@ -292,11 +292,14 @@ class EnsembleProblem:
                               None, 0, 0)))
 
     def _run_batch(self, B, u0s_j, payload, stops_rows, abstol_j, reltol_j):
-        """One batched run at per-member tolerances -> (statuses, ys).
+        """One batched run at per-member tolerances -> (statuses, ys,
+        steps).
 
         ``ys`` has shape (B, n_chunks, m, ns); ``statuses`` is the
-        per-member worst chunk status as a numpy (B,) int array.
+        per-member worst chunk status and ``steps`` the per-member total
+        integrator step count, both numpy (B,) int arrays.
         """
+        steps = jnp.zeros((B,), jnp.int32)
         if self.chunk_mode == "host":
             u = u0s_j
             h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
@@ -305,10 +308,11 @@ class EnsembleProblem:
             for nc in range(self.n_chunks):
                 row = (stops_rows[nc] if self.rate_mode == "discrete"
                        else stops_rows[:, nc])
-                u, h, status, ys_c = self._chunk_fn(
+                u, h, status, ys_c, st_c = self._chunk_fn(
                     u, h, payload, row,
                     jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
                 ys_chunks.append(ys_c)
+                steps = steps + st_c
                 worst = status if worst is None else jnp.minimum(worst, status)
             statuses = np.asarray(worst)
             ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
@@ -324,17 +328,18 @@ class EnsembleProblem:
                 ncs = jnp.arange(lo, hi, dtype=self.dtype)
                 rows = (stops_rows[lo:hi] if self.rate_mode == "discrete"
                         else stops_rows[:, lo:hi])
-                u, h, status, ys_g = self._group_fn(
+                u, h, status, ys_g, st_g = self._group_fn(
                     u, h, payload, rows, ncs, abstol_j, reltol_j)
                 ys_groups.append(ys_g)   # (B, hi-lo, m, ns)
+                steps = steps + st_g
                 worst = status if worst is None else jnp.minimum(worst, status)
             statuses = np.asarray(worst)
             ys = jnp.concatenate(ys_groups, axis=1)
         else:
-            statuses, ys = self._solve_fn(
+            statuses, ys, steps = self._solve_fn(
                 u0s_j, payload, stops_rows, abstol_j, reltol_j)
             statuses = np.asarray(statuses)
-        return statuses, ys
+        return statuses, ys, np.asarray(steps)
 
     def solve(self, conditions_list: list[ConditionSet] | None = None,
               u0s: np.ndarray | None = None, sharding=None,
@@ -433,14 +438,16 @@ class EnsembleProblem:
         statuses = ys = None
         while True:
             attempts += 1
-            new_statuses, new_ys = self._run_batch(
+            new_statuses, new_ys, new_steps = self._run_batch(
                 B, u0s_j, payload, stops_rows,
                 jnp.asarray(abstol_v), jnp.asarray(reltol_v))
             if statuses is None:
                 statuses, ys = new_statuses, np.asarray(new_ys)
+                steps_v = new_steps
             else:
                 redo = statuses != bdf.DONE
                 statuses = np.where(redo, new_statuses, statuses)
+                steps_v = np.where(redo, new_steps, steps_v)
                 ys = np.where(redo[:, None, None, None],
                               np.asarray(new_ys), ys)
             failed = statuses != bdf.DONE
@@ -483,7 +490,8 @@ class EnsembleProblem:
             retcodes=[retcode_from_status(s) for s in statuses],
             vcs=vcs, stats={"n_chunks": self.n_chunks, "batch": B,
                             "attempts": attempts,
-                            "abstol": abstol_v, "reltol": reltol_v})
+                            "abstol": abstol_v, "reltol": reltol_v,
+                            "n_steps": steps_v})
 
 
 def solve_network_ensemble(method: VariableODESolve, sd: SpeciesData,

@@ -421,28 +421,33 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         if done % max(1, n_chunks_total // 20) == 0 or done == n_chunks_total:
             logger.info("   - Chunkwise ODE: %d/%d chunks", done, n_chunks_total)
 
+    STAT_KEYS = ("n_steps", "n_accepted", "n_rejected", "n_fev", "n_jev",
+                 "n_lu")
+
     @jax.jit
-    def scan_solve(u0, worst0, h0, chunk_ids, stops_rows, abstol, reltol,
-                   payload):
+    def scan_solve(u0, worst0, h0, acc0, chunk_ids, stops_rows, abstol,
+                   reltol, payload):
         def body(carry, xs):
-            u, worst, h_prev = carry
+            u, worst, h_prev, acc = carry
             nc, stops_row = xs
             status, ys, y_final, stats = _integrate(
                 pars, rhs, jac, u, 0.0, chunkstep, saveat_j, reltol, abstol,
                 stops_row, (nc * chunkstep, payload), first_step=h_prev,
                 prepare=prepare)
             worst = jnp.minimum(worst, status)
+            acc = acc + jnp.stack([stats[k].astype(jnp.int64)
+                                   for k in STAT_KEYS])
             if pars.progress:
                 # structured progress (reference uses ProgressLogging bars,
                 # methods.jl:248-254); host callback per chunk
                 jax.debug.callback(_progress_cb, nc, ordered=False)
             # carry the final accepted h into the next chunk (NaN = auto on
             # chunk 0) to skip the order-1 restart ramp at every boundary
-            return (y_final, worst, stats["h"]), ys
+            return (y_final, worst, stats["h"], acc), ys
 
-        (u_f, worst, h_f), ys = jax.lax.scan(
-            body, (u0, worst0, h0), (chunk_ids, stops_rows))
-        return u_f, worst, h_f, ys
+        (u_f, worst, h_f, acc), ys = jax.lax.scan(
+            body, (u0, worst0, h0, acc0), (chunk_ids, stops_rows))
+        return u_f, worst, h_f, acc, ys
 
     # Device-dispatch granularity: on CPU the whole chunk loop is one scan;
     # on accelerators it is split into groups of chunks so no single device
@@ -457,25 +462,28 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         u = u0
         worst = jnp.asarray(bdf.DONE, jnp.int32)
         h = jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))
+        acc = jnp.zeros((len(STAT_KEYS),), jnp.int64)
         ys_parts = []
         for lo in range(0, n_chunks, cpd):
             hi = min(lo + cpd, n_chunks)
             with timed("solve.chunk_dispatch"):
-                u, worst, h, ys_g = scan_solve(u, worst, h, chunk_ids[lo:hi],
-                                               stops_rows[lo:hi], at, rt,
-                                               args_payload)
+                u, worst, h, acc, ys_g = scan_solve(
+                    u, worst, h, acc, chunk_ids[lo:hi],
+                    stops_rows[lo:hi], at, rt, args_payload)
             ys_parts.append(ys_g)
         ys = ys_parts[0] if len(ys_parts) == 1 else jnp.concatenate(ys_parts)
-        return worst, ys
+        return worst, (ys, acc)
 
-    status, ys, attempts = _adaptive_device_solve(solve_fn, pars)
+    status, (ys, acc), attempts = _adaptive_device_solve(solve_fn, pars)
     m = len(saveat_local)
     ys = np.asarray(ys).reshape(n_chunks * m, -1)
     ys = np.concatenate([np.asarray(u0)[None], ys])
     ts = np.concatenate([
         [0.0],
         (np.arange(n_chunks)[:, None] * chunkstep + saveat_local[None, :]).ravel()])
-    return ts, ys, status, {"attempts": attempts, "n_chunks": n_chunks}
+    stats = {"attempts": attempts, "n_chunks": n_chunks}
+    stats.update({k: int(v) for k, v in zip(STAT_KEYS, np.asarray(acc))})
+    return ts, ys, status, stats
 
 
 # ---------------------------------------------------------------------------

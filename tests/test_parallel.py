@@ -245,8 +245,8 @@ class TestEnsembleAdaptiveRetry:
         calls = []
 
         def fake_run(B, u0s_j, payload, stops_rows, abstol_j, reltol_j):
-            statuses, ys = real_run(B, u0s_j, payload, stops_rows,
-                                    abstol_j, reltol_j)
+            statuses, ys, steps = real_run(B, u0s_j, payload, stops_rows,
+                                           abstol_j, reltol_j)
             calls.append((np.asarray(abstol_j).copy(),
                           np.asarray(reltol_j).copy()))
             if len(calls) == 1:
@@ -255,7 +255,7 @@ class TestEnsembleAdaptiveRetry:
                 statuses[1] = bdf.FAIL_MAX_STEPS
                 ys = np.asarray(ys).copy()
                 ys[1] = np.nan
-            return statuses, ys
+            return statuses, ys, steps
 
         prob._run_batch = fake_run
         ens = prob.solve(conditions_list=conditions_list)
@@ -279,10 +279,10 @@ class TestEnsembleAdaptiveRetry:
 
         def fake_run(*args):
             n[0] += 1
-            statuses, ys = real_run(*args)
+            statuses, ys, steps = real_run(*args)
             statuses = statuses.copy()
             statuses[1] = bdf.FAIL_MAX_STEPS
-            return statuses, ys
+            return statuses, ys, steps
 
         prob._run_batch = fake_run
         ens = prob.solve(conditions_list=conditions_list)
@@ -298,10 +298,10 @@ class TestEnsembleAdaptiveRetry:
 
         def fake_run(*args):
             n[0] += 1
-            statuses, ys = real_run(*args)
+            statuses, ys, steps = real_run(*args)
             statuses = statuses.copy()
             statuses[0] = bdf.FAIL_H_UNDERFLOW
-            return statuses, ys
+            return statuses, ys, steps
 
         prob._run_batch = fake_run
         ens = prob.solve(conditions_list=conditions_list)
