@@ -52,7 +52,18 @@ def canonical_smiles(smiles: str) -> str:
 
 
 def smiles_from_frame(frame: Frame, fix_radicals: bool = True) -> str:
-    """Canonical SMILES of one (single-fragment) frame."""
+    """Canonical SMILES of one (single-fragment) frame.
+
+    With OpenBabel installed this is its perception + canonical "can"
+    output (the reference's tool for geometry->SMILES); chem-lite's
+    valence-based perception otherwise.
+    """
+    if backends.HAS_OPENBABEL:
+        from .openbabel_glue import ingest_xyz_system as _ob_ingest
+        smis, _ = _ob_ingest(frame_to_xyz(frame), fix_radicals=fix_radicals)
+        if len(smis) == 1:
+            return smis[0]
+        return ".".join(sorted(smis))
     mol = mol_from_frame(frame)
     return to_smiles(mol)
 
@@ -61,18 +72,25 @@ def ingest_xyz_system(xyz: str, fix_radicals: bool = True
                       ) -> tuple[list[str], list[Frame]]:
     """Split an XYZ (string or file path) into fragment SMILES + frames.
 
-    Returns parallel lists: one canonical SMILES and one geometry frame per
-    connected molecular fragment (openbabel/conversion.jl:12-33). The
-    ``fix_radicals`` flag mirrors the reference's OBCanonicalRadicals use;
-    chem-lite's valence-based perception produces canonical radicals
-    natively, so it is a no-op there.
+    Returns parallel lists: one canonical SMILES and one geometry frame
+    per connected molecular fragment (openbabel/conversion.jl:12-33).
+    With OpenBabel installed, perception, fragment separation, canonical
+    SMILES and the OBCanonicalRadicals ``fix_radicals`` repair run through
+    it exactly as in the reference (chem.openbabel_glue); the chem-lite
+    path below is the self-contained fallback, whose valence-based
+    perception produces canonical radicals natively (no fixup needed).
     """
     import os
     if os.path.exists(xyz):
-        frames = read_xyz_file(xyz)
-        frame = frames[0]
+        xyz_str = xyz_file_to_str(xyz)
     else:
-        frame = xyz_to_frame(xyz)
+        xyz_str = xyz
+
+    if backends.HAS_OPENBABEL:
+        from .openbabel_glue import ingest_xyz_system as _ob_ingest
+        return _ob_ingest(xyz_str, fix_radicals=fix_radicals)
+
+    frame = xyz_to_frame(xyz_str)
     mol = mol_from_frame(frame)
     smis, sub_frames = [], []
     pos = frame_positions(frame)
@@ -159,7 +177,15 @@ def atom_map_smiles(frame: Frame, smiles: str) -> str:
     emits every atom (including H) with its frame position as the map
     number (reference rdkit.jl:87-127; golden form for ethene:
     ``[C:1](=[C:2]([H:5])[H:6])([H:3])[H:4]``).
+
+    With RDKit installed this runs the reference's raw-connectivity
+    substructure algorithm (chem.rdkit_glue, after ard_gsm) — robust for
+    aromatic/charged species; chem-lite VF2 handles the organic subset
+    otherwise.
     """
+    if backends.HAS_RDKIT:
+        from . import rdkit_glue
+        return rdkit_glue.atom_map_smiles(frame, smiles)
     mol_frame = mol_from_frame(frame)
     mol_smi = from_smiles(smiles)
     mapping = find_isomorphism(mol_smi, mol_frame)
@@ -183,7 +209,12 @@ def atom_map_frame(mapped_smiles: str, frame: Frame) -> Frame:
     (reference rdkit.jl:146-191).
 
     Output frame atom i corresponds to map number i+1 in the SMILES.
+    Dispatches to the RDKit substructure algorithm when available
+    (chem.rdkit_glue); chem-lite VF2 otherwise.
     """
+    if backends.HAS_RDKIT:
+        from . import rdkit_glue
+        return rdkit_glue.atom_map_frame(mapped_smiles, frame)
     mol_smi, mapnums = _parse_mapped(mapped_smiles)
     mol_frame = mol_from_frame(frame)
     iso = find_isomorphism(mol_smi, mol_frame)
