@@ -209,3 +209,31 @@ class TestOpenBabelIngest:
         frame = make_frame(species, _np.vstack([pos1, pos2]))
         smis, frames = ingest_xyz_system(_ftx(frame))
         assert len(smis) == 2 and len(frames) == 2
+
+
+class TestEmbeddingQuality:
+    """chem-lite 3D embedding sanity (VERDICT r1 weak #5): it is the
+    default geometry source for exploration species when RDKit is
+    absent, so it must produce physically plausible seeds."""
+
+    MOLECULES = ["C", "CC", "C=C", "CCO", "C#C", "CC(C)C", "c1ccccc1",
+                 "C1CC1", "CCCCCC", "[CH3]", "O", "N"]
+
+    @pytest.mark.parametrize("smi", MOLECULES)
+    def test_no_atom_collisions_and_graph_roundtrip(self, smi):
+        from kinetica_tpu.chem.xyz import frame_positions
+        frame = frame_from_smiles(smi)
+        pos = np.asarray(frame_positions(frame))
+        n = len(pos)
+        if n > 1:
+            dmin = min(np.linalg.norm(pos[i] - pos[j])
+                       for i in range(n) for j in range(i + 1, n))
+            # shortest genuine bond is O-H at ~0.96 A; anything much
+            # below that is an atom collision
+            assert dmin > 0.85, f"{smi}: min interatomic {dmin:.2f} A"
+            # no two atoms flung apart either (compact embedding)
+            dmax = max(np.linalg.norm(pos[i] - pos[j])
+                       for i in range(n) for j in range(i + 1, n))
+            assert dmax < 4.0 * n ** (1 / 2)
+        # bond perception on the embedded geometry recovers the graph
+        assert to_smiles(mol_from_frame(frame)) == to_smiles(from_smiles(smi))
