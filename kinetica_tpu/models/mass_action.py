@@ -31,6 +31,43 @@ import numpy as np
 from ..core.network import RxData
 
 
+
+# Smoothing half-width of the clipped-concentration kink (see _clip_pos).
+CLIP_DELTA = 1e-12
+
+
+def _clip_pos(u):
+    """C^inf positive part: u * sigmoid(u / delta); exactly 0 at u = 0.
+
+    Rates are evaluated on the nonnegative part of u (see rates()), but a
+    SHARP max(u, 0) makes the RHS only C^0: species flickering across 0
+    at the tolerance floor (every radical during its exponential rise
+    crosses decades below atol) flip the consumption-term slope
+    discontinuously between Newton iterates, injecting O(c k u_partner)
+    scaled residual jumps the one-sided Jacobian cannot model. Measured
+    on the k_max-saturated getting-started CRN this trapped the stepper
+    in a small-h Newton-thrash cycle (43k steps / 0.5 s where scipy BDF
+    takes ~100). Smoothing the kink over delta = 1e-12 — two decades
+    below the production atol, so rate perturbations are invisible at
+    solver tolerances — makes RHS and Jacobian consistent through the
+    crossing.
+
+    The sigmoid form (not the sqrt softplus) is essential: it VANISHES at
+    u = 0, so freshly-initialised zero species carry no phantom
+    concentration (a delta/2 offset times a saturated k ~ 1e12 would
+    inject O(1) phantom fluxes). For |u| >> delta this is max(u, 0) to
+    machine precision.
+    """
+    return u * jax.nn.sigmoid(u / CLIP_DELTA)
+
+
+def _clip_pos_grad(u):
+    """d(_clip_pos)/du — chain factor for the Jacobian."""
+    x = u / CLIP_DELTA
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class MassActionNetwork:
@@ -80,7 +117,7 @@ class MassActionNetwork:
         u < 0 region purely restoring (production only) without changing
         the dynamics anywhere u >= 0.
         """
-        u_aug = jnp.concatenate([jnp.maximum(u, 0.0),
+        u_aug = jnp.concatenate([_clip_pos(u),
                                  jnp.ones((1,), dtype=u.dtype)])
         prods = jnp.prod(u_aug[self.reac_slots], axis=1)
         return k * prods
@@ -104,12 +141,13 @@ class MassActionNetwork:
         f64 values. Padding slots point at the constant-1 column (index ns),
         which is dropped before returning (matching d(1)/du = 0).
         """
-        # consistent with :meth:`rates`: evaluated at the clipped
-        # concentrations (the one-sided derivative at u=0 is kept — species
-        # start at exactly 0 and Newton needs the consumption coupling; J
-        # is a preconditioner, so the u<0 flat-region mismatch is harmless)
-        u_aug = jnp.concatenate([jnp.maximum(u, 0.0),
+        # consistent with :meth:`rates`: evaluated at the smooth-clipped
+        # concentrations with the chain factor d(_clip_pos)/du applied to
+        # each Jacobian column, so RHS and Jacobian agree through the
+        # u ~ 0 crossing (see _clip_pos).
+        u_aug = jnp.concatenate([_clip_pos(u),
                                  jnp.ones((1,), dtype=u.dtype)])
+        chain = _clip_pos_grad(u)
         slot_u = u_aug[self.reac_slots]                      # (nr, arity)
 
         def leave_one_out(slots_u):
@@ -126,7 +164,7 @@ class MassActionNetwork:
         Y = (self.N[:, None, :] * w[:, :, None]).reshape(nr * arity, ns)
         JT = jax.ops.segment_sum(Y, self.reac_slots.reshape(-1),
                                  num_segments=ns + 1)
-        return JT[:ns].T
+        return JT[:ns].T * chain[None, :]
 
     def rhs_and_jac(self, u, k):
         return self.rhs(u, k), self.jac(u, k)
@@ -144,7 +182,7 @@ class MassActionNetwork:
         """
         from ..ops import dd
 
-        u_aug = jnp.concatenate([jnp.maximum(u, 0.0),
+        u_aug = jnp.concatenate([_clip_pos(u),
                                  jnp.ones((1,), dtype=u.dtype)])
         uh, ul = dd.pair_from_f64(u_aug)
         kh, kl = k_pair

@@ -90,3 +90,59 @@ def pair_chop_slices(hi, lo):
     s1 = chop21(t)
     s2 = t - s1                    # exact
     return s0, s1, s2
+
+
+def residual_eye_pair(A32, M32):
+    """R = I - A @ M for f32 square A, M, accurate to ~1e-13 absolute.
+
+    The straight f32 product would round at eps32 ~ 6e-8 — useless for
+    measuring a residual that Newton-Schulz needs to drive below 1e-4
+    from an f32 inverse with eps32*cond(A) ~ O(1) error. Products are
+    made exact with TwoProd and accumulated with TwoSum compensation
+    (one fori_loop over the contraction axis); the final I - hi
+    subtraction is exact by Sterbenz (A@M ~ I), leaving |error| ~ |lo|
+    rounding ~ 1e-13.
+    """
+    n = A32.shape[0]
+    zeros = jnp.zeros_like(A32)
+
+    def body(kk, carry):
+        hi, lo = carry
+        p, e = two_prod(lax.dynamic_slice_in_dim(A32, kk, 1, 1),
+                        lax.dynamic_slice_in_dim(M32, kk, 1, 0))
+        s, e2 = two_sum(hi, p)
+        return s, lo + (e + e2)
+
+    hi, lo = lax.fori_loop(0, n, body, (zeros, zeros))
+    eye = jnp.eye(n, dtype=jnp.float32)
+    return (eye - hi) - lo
+
+
+def newton_schulz_refine(minv, A32, tol=3e-5, max_sweeps: int = 4):
+    """Quadratically refine an approximate f32 inverse of A32.
+
+    Newton-Schulz iteration M <- M + M @ R with the residual
+    R = I - A M measured in pair precision (residual_eye_pair): error
+    0.1 -> 0.01 -> 1e-4 -> ... down to the ~1e-13 residual floor. Exits
+    as soon as max|R| <= tol, so well-conditioned factors pay one
+    residual evaluation and zero sweeps; the ill-conditioned factors
+    that would otherwise stall Newton (eps32 * cond(A) >= 1) get the
+    sweeps they need. Returns (refined_minv, final_residual_norm).
+    """
+    def rnorm(R):
+        return jnp.max(jnp.abs(R))
+
+    R = residual_eye_pair(A32, minv)
+
+    def cond(carry):
+        _, R, it = carry
+        return (rnorm(R) > tol) & (it < max_sweeps)
+
+    def body(carry):
+        minv, R, it = carry
+        minv = minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST)
+        return minv, residual_eye_pair(A32, minv), it + 1
+
+    minv, R, _ = lax.while_loop(cond, body,
+                                (minv, R, jnp.asarray(0, jnp.int32)))
+    return minv, rnorm(R)

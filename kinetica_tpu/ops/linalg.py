@@ -29,7 +29,7 @@ from .pallas_linalg import MAX_PALLAS_N, gj_inverse
 
 
 class NewtonFactors(NamedTuple):
-    lu: jnp.ndarray    # LU factors ("lu" method) or explicit inverse ("inv")
+    lu: jnp.ndarray    # LU factors ("lu") or equilibrated inverse ("inv")
     piv: jnp.ndarray   # pivots ("lu") / dummy zeros ("inv")
     J: jnp.ndarray     # Jacobian used (solve dtype) — kept for refinement
     c: jnp.ndarray     # scalar c in A = I - c J
@@ -51,36 +51,108 @@ def resolve_linsolve(method: str, ns: int) -> str:
     return "inv"
 
 
-def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
-                  method: str = "lu") -> NewtonFactors:
-    """Factor A = I - c J at ``lu_dtype`` precision.
-
-    ``method`` "lu": LAPACK-style LU factors. "inv": explicit f32 inverse
-    computed by one Pallas launch (ops/pallas_linalg.py) so that each
-    back-substitution is a single fused matvec.
-    """
+def _newton_matrix(J, c):
     dtype = J.dtype
     ns = J.shape[0]
     # honour J's dtype: an f32 Jacobian (jac_dtype="float32") must not be
     # promoted back to f64 by the scalar c under x64 semantics
-    A = jnp.eye(ns, dtype=dtype) - jnp.asarray(c, dtype) * J
+    return jnp.eye(ns, dtype=dtype) - jnp.asarray(c, dtype) * J
+
+
+def _equilibrate(A):
+    """Ruiz-style row/column max-norm scaling of A (f32).
+
+    Mass-action Newton matrices are extremely badly SCALED (rows span ~1
+    for inert species to c*k*u ~ 1e9 for saturated channels) rather than
+    intrinsically singular: factoring Dr*A*Dc with entries normalised to
+    O(1) keeps the reduced-precision factorisation's effective condition
+    number small. Measured on the k_max-saturated getting-started CRN,
+    the unequilibrated f32 factor stalled Newton at contraction rates
+    ~0.5 (each solve ~50% error after refinement), tripping the
+    divergence test on most steps; with equilibration the mixed path
+    recovers the full-f64-LU step profile.
+
+    Deterministic in A alone, so callers may recompute the scales
+    instead of carrying them in solver state.
+    """
+    f32 = jnp.float32
+    A32 = A.astype(f32)
+    tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+    dr = 1.0 / jnp.maximum(jnp.max(jnp.abs(A32), axis=1), tiny)
+    As = A32 * dr[:, None]
+    dc = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=0), tiny)
+    return As * dc[None, :], dr, dc
+
+
+def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
+                  method: str = "lu") -> NewtonFactors:
+    """Factor A = I - c J at ``lu_dtype`` precision (equilibrated).
+
+    ``method`` "lu": LAPACK-style LU factors of the equilibrated matrix
+    (the scales are re-derived in newton_solve — they are deterministic
+    in (J, c), so no extra state rides in the integrator carry).
+    "inv": explicit f32 inverse computed by one Pallas launch
+    (ops/pallas_linalg.py) with the scales FOLDED into the stored matrix
+    (A^-1 = Dc (Dr A Dc)^-1 Dr), so each back-substitution stays a
+    single fused matvec.
+    """
+    dtype = J.dtype
+    ns = J.shape[0]
+    A = _newton_matrix(J, c)
+
     if method == "inv":
-        minv = gj_inverse(A)
+        from .dd import newton_schulz_refine
+        As, dr, dc = _equilibrate(A)
+        minv32 = gj_inverse(As)
+        # Newton-Schulz with pair-precision residuals: the f32 inversion
+        # error is ~eps32 * cond(As); for saturated-rate CRNs cond can
+        # reach 1e7+ even after equilibration, leaving 10%+ solve errors
+        # that stall the integrator's Newton iteration (its 2nd iterate
+        # becomes solve error, tripping the divergence test). Quadratic
+        # refinement drives the factor residual below 3e-5 in 0-4 cheap
+        # f32 matmul sweeps (ops/dd.py).
+        minv32, _ = newton_schulz_refine(minv32, As)
+        minv = dc[:, None] * minv32 * dr[None, :]
         return NewtonFactors(lu=minv, piv=jnp.zeros((ns,), jnp.int32),
                              J=J, c=jnp.asarray(c, dtype))
+    if lu_dtype == jnp.float32:
+        As, _, _ = _equilibrate(A)
+        lu, piv = lu_factor(As)
+        return NewtonFactors(lu=lu, piv=piv, J=J, c=jnp.asarray(c, dtype))
     lu, piv = lu_factor(A.astype(lu_dtype))
     return NewtonFactors(lu=lu, piv=piv, J=J, c=jnp.asarray(c, dtype))
 
 
 def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
-                 method: str = "lu") -> jnp.ndarray:
-    """Solve (I - c J) dy = b with f32 factors + f64 iterative refinement."""
+                 method: str = "lu", max_refine: int = 4) -> jnp.ndarray:
+    """Solve (I - c J) dy = b with f32 factors + f64 iterative refinement.
+
+    Refinement is residual-adaptive: after the mandatory ``refine``
+    sweep(s), further sweeps run only while the correction is still a
+    significant fraction of the solution (each sweep multiplies the error
+    by ~eps_f32 * cond(A), so well-conditioned systems stop immediately
+    while badly scaled mass-action Newton matrices — concentrations
+    spanning ~10 decades against k ~ 1e12 — get the extra sweeps they
+    need). Measured on the k_max-saturated getting-started CRN: fixed
+    refine=1 left the f32-factor error large enough to fail Newton
+    chronically (776 steps, 19% rejections for a 0.5 s chunk vs 322
+    steps / 4% with a full f64 LU); adaptive refinement recovers the
+    f64-LU step profile at f32-factor cost.
+    """
     dtype = b.dtype
     lu_dtype = f.lu.dtype
 
     if method == "inv":
         def solve32(v):
             return (f.lu @ v.astype(lu_dtype)).astype(dtype)
+    elif lu_dtype == jnp.float32:
+        # the factors are of the equilibrated matrix: re-derive the
+        # deterministic scales from (J, c) and unscale each solve
+        _, dr, dc = _equilibrate(_newton_matrix(f.J, f.c))
+
+        def solve32(v):
+            z = lu_solve((f.lu, f.piv), v.astype(jnp.float32) * dr)
+            return (z * dc).astype(dtype)
     else:
         def solve32(v):
             return lu_solve((f.lu, f.piv), v.astype(lu_dtype)).astype(dtype)
@@ -90,12 +162,37 @@ def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
         return dy
     jdt = f.J.dtype
     c = jnp.asarray(f.c, dtype)
-    for _ in range(refine):
+
+    def sweep(dy):
         # the J matvec runs in J's own dtype (f32 when jac_dtype="float32"
         # — J is a preconditioner; the Newton fixed point is anchored by
         # the f64 rhs residual, so refinement only needs to *approximate*
         # (I - cJ)^-1 well, not reproduce it to f64)
         Jdy = (f.J @ dy.astype(jdt)).astype(dtype)
         r = b - (dy - c * Jdy)
-        dy = dy + solve32(r)
+        corr = solve32(r)
+        return dy + corr, corr
+
+    for _ in range(max(refine, 1)):
+        dy, corr = sweep(dy)
+
+    if max_refine > refine:
+        f32 = jnp.float32
+        tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
+
+        def norm32(v):
+            return jnp.linalg.norm(v.astype(f32))
+
+        def cond(carry):
+            dy, corr, it = carry
+            still_big = norm32(corr) > 1e-4 * jnp.maximum(norm32(dy), tiny)
+            return still_big & (it < max_refine)
+
+        def body(carry):
+            dy, _, it = carry
+            dy, corr = sweep(dy)
+            return dy, corr, it + 1
+
+        dy, _, _ = jax.lax.while_loop(
+            cond, body, (dy, corr, jnp.asarray(refine, jnp.int32)))
     return dy

@@ -435,8 +435,9 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
                 stops_row, (nc * chunkstep, payload), first_step=h_prev,
                 prepare=prepare)
             worst = jnp.minimum(worst, status)
-            acc = acc + jnp.stack([stats[k].astype(jnp.int64)
-                                   for k in STAT_KEYS])
+            acc = acc + jnp.stack([
+                stats.get(k, jnp.asarray(0, jnp.int32)).astype(jnp.int64)
+                for k in STAT_KEYS])
             if pars.progress:
                 # structured progress (reference uses ProgressLogging bars,
                 # methods.jl:248-254); host callback per chunk
