@@ -118,31 +118,52 @@ def residual_eye_pair(A32, M32):
     return (eye - hi) - lo
 
 
-def newton_schulz_refine(minv, A32, tol=3e-5, max_sweeps: int = 4):
-    """Quadratically refine an approximate f32 inverse of A32.
+def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
+                         max_sweeps: int = 4):
+    """Quadratically refine an approximate f32 inverse of A32 WHEN NEEDED.
 
-    Newton-Schulz iteration M <- M + M @ R with the residual
-    R = I - A M measured in pair precision (residual_eye_pair): error
-    0.1 -> 0.01 -> 1e-4 -> ... down to the ~1e-13 residual floor. Exits
-    as soon as max|R| <= tol, so well-conditioned factors pay one
-    residual evaluation and zero sweeps; the ill-conditioned factors
-    that would otherwise stall Newton (eps32 * cond(A) >= 1) get the
-    sweeps they need. Returns (refined_minv, final_residual_norm).
+    Newton-Schulz iteration M <- M + M @ R with the residual R = I - A M
+    measured in pair precision (residual_eye_pair): error 0.1 -> 0.01 ->
+    1e-4 -> ... down to the ~1e-13 residual floor.
+
+    The pair residual is O(n^3) compensated VPU work (~0.9 ms at
+    n=80/B=64 on TPU) — too expensive to spend on every factor — so the
+    loop is entered through a FREE condition proxy: for an equilibrated
+    A (entries ~O(1)), the f32 inversion error max|R| ~ eps32 * cond(A)
+    ~ eps32 * max|A^-1| (calibrated within ~3x on both the benchmark CRN
+    and the saturated getting-started CRN). Factors whose proxy is below
+    ``proxy_tol`` skip everything; bad ones compute the true residual
+    inside the loop and sweep until max|R| <= tol. Under vmap the
+    while_loop runs zero iterations when NO lane trips the proxy, so the
+    common batched-sweep path pays only the max|minv| reduction.
+
+    ``tol`` = 3e-4 caps the Newton linear-solve relative error at a
+    level where the integrator's convergence-rate tests are unimpeded
+    (rate ~ tol << 1); per-solve iterative refinement (newton_solve)
+    takes accuracy the rest of the way.
     """
+    eps32 = jnp.asarray(1.2e-7, jnp.float32)
+    need = eps32 * jnp.max(jnp.abs(minv)) > proxy_tol
+
     def rnorm(R):
         return jnp.max(jnp.abs(R))
 
-    R = residual_eye_pair(A32, minv)
-
     def cond(carry):
-        _, R, it = carry
-        return (rnorm(R) > tol) & (it < max_sweeps)
+        _, rn, it = carry
+        return (rn > tol) & (it < max_sweeps)
 
     def body(carry):
-        minv, R, it = carry
-        minv = minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST)
-        return minv, residual_eye_pair(A32, minv), it + 1
+        minv, _, it = carry
+        R = residual_eye_pair(A32, minv)
+        rn = rnorm(R)
+        minv = jnp.where(
+            rn > tol,
+            minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
+            minv)
+        return minv, rn, it + 1
 
-    minv, R, _ = lax.while_loop(cond, body,
-                                (minv, R, jnp.asarray(0, jnp.int32)))
-    return minv, rnorm(R)
+    rn0 = jnp.where(need, jnp.asarray(jnp.inf, jnp.float32),
+                    jnp.asarray(0.0, jnp.float32))
+    minv, rn, _ = lax.while_loop(cond, body,
+                                 (minv, rn0, jnp.asarray(0, jnp.int32)))
+    return minv, rn
