@@ -394,12 +394,13 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             # scipy also abort when the projected tail
             # rate**(m-it)/(1-rate)*dy cannot reach tol — an optimisation
             # for expensive RHS evaluations that is a pessimisation here:
-            # with f32-preconditioned solves the it=1 "rate" is
-            # contaminated by linear-solve error (measured ~0.2 where the
-            # true contraction is ~1e-3), and the projection spuriously
-            # kills steps whose next iteration would converge outright.
-            # RHS evals are cheap on this stack; let Newton use its full
-            # iteration budget and judge convergence honestly.
+            # with f32-preconditioned solves the early-iteration "rate"
+            # is contaminated by linear-solve error (measured ~0.2 where
+            # the true contraction is ~1e-3), so the projection spuriously
+            # kills steps whose next iteration would converge outright
+            # (a re-added it>=2 projected kill measurably broke
+            # forward-sensitivity/FD smoothness). RHS evals are cheap on
+            # this stack; let Newton use its full iteration budget.
             bad = (~small) & (it > 0) & (rate >= 1.2)
             d = d + dy
             y = y + dy
@@ -677,7 +678,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         # regimes (saturated rate constants) the nonlinearity — not the
         # truncation error — binds h. Remember the step size at which
         # Newton last failed and cap regrowth just below it; the ceiling
-        # relaxes x1.3 per accepted step so larger steps are re-probed
+        # relaxes x1.5 per accepted step so larger steps are re-probed
         # geometrically instead of by x10 jumps that cascade 3-4
         # failures each (measured: a grow/fail^3/halve^3 limit cycle
         # burned >10x the necessary steps on the getting-started CRN).
@@ -744,7 +745,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             n_steps=s.n_steps + 1,
             bruised=jnp.where(accept, jnp.asarray(False), s.bruised | nfail),
             h_ncf=jnp.where(nfail & (~clamp), h,
-                            jnp.where(accept, s.h_ncf * 1.3, s.h_ncf)))
+                            jnp.where(accept, s.h_ncf * 1.5, s.h_ncf)))
         too_many = s_new.n_steps >= max_steps
         h_under = s_new.h < h_min
         status = jnp.where(s_new.status == DONE, DONE,
