@@ -20,7 +20,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-_SPLITTER = jnp.float32(4097.0)   # 2^12 + 1 (Veltkamp split of 24-bit f32)
+# 2^12 + 1 (Veltkamp split of 24-bit f32). A plain Python float (weakly
+# typed: stays f32 against f32 operands) — a jnp scalar here would be
+# closure-captured as a device constant, which Pallas kernels reject.
+_SPLITTER = 4097.0
 
 
 def two_sum(a, b):

@@ -178,7 +178,8 @@ def _dd_call_slices(NT32: jnp.ndarray, r0, r1, r2, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int):
+def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int,
+                    interpret: bool = False):
     """Build the (r, NT) -> du primitive pair for one problem geometry.
 
     Cached per (nr, ns, nr_pad, max_batch) so identical network shapes
@@ -189,7 +190,7 @@ def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int):
     def matmul_b(rb, NT):                  # (B, nr) f64 -> (B, ns) f64
         B = rb.shape[0]
         rT = jnp.zeros((nr_pad, B), rb.dtype).at[:nr, :].set(rb.T)
-        return _dd_call(NT, rT, nr)[:, :ns]
+        return _dd_call(NT, rT, nr, interpret=interpret)[:, :ns]
 
     @matmul_b.defjvp
     def _jvp(primals, tangents):
@@ -231,7 +232,7 @@ def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int):
         z = jnp.zeros((nr_pad, B), jnp.float32)
         s0, s1, s2 = _dd.pair_chop_slices(rh.T, rl.T)
         return _dd_call_slices(NT, z.at[:nr].set(s0), z.at[:nr].set(s1),
-                               z.at[:nr].set(s2))[:, :ns]
+                               z.at[:nr].set(s2), interpret=interpret)[:, :ns]
 
     @jax.custom_batching.custom_vmap
     def matmul_pair(rh, rl, NT):           # (nr,) f32 pair -> (ns,) f64
@@ -271,7 +272,8 @@ class DDContraction:
     tangent uses the linearity of the contraction.
     """
 
-    def __init__(self, N: jnp.ndarray, max_batch: int = 512):
+    def __init__(self, N: jnp.ndarray, max_batch: int = 512,
+                 interpret: bool = False):
         import numpy as np
         Nh = np.asarray(N, dtype=np.float64)
         if Nh.size and np.abs(Nh).max() > MAX_EXACT_STOICH:
@@ -294,7 +296,7 @@ class DDContraction:
         # arrays into (possibly batched) consts of the custom_vmap call,
         # which the custom_vmap machinery rejects (assert consts_batched).
         self._matmul, self._matmul_pair = _make_dd_matmul(
-            nr, ns, self.nr_pad, max_batch)
+            nr, ns, self.nr_pad, max_batch, interpret)
 
     supports_pair = True
 
@@ -309,6 +311,324 @@ class DDContraction:
         """du (f64) from (nr,) double-f32 pair rates — no f64 inputs at
         all; pairs come from MassActionNetwork.rates_pair."""
         return self._matmul_pair(r_hi, r_lo, self._NT)
+
+
+def _fused_rates_slices(chunk, arity, e_refs, kh_ref, kl_ref, uh_ref, ul_ref):
+    """In-kernel mass-action rates for one reaction chunk, as slices.
+
+    e_refs[s]: (chunk, ns_aug_pad) one-hot slot matrices; uh/ul:
+    (ns_aug_pad, B) clipped-augmented concentration pairs; kh/kl:
+    (chunk, B) rate-constant pairs. The slot gathers run as one-hot
+    matmuls on the MXU — exact at HIGHEST precision, because every
+    product is 1.0 * u or 0.0 * u and the f32 operand splitting
+    reassembles u exactly — and the arity product + k scaling use the
+    same error-free pair transforms as models.mass_action.rates_pair.
+    Returns the three chopped f32 slices ((chunk, B) each) feeding the
+    compensated contraction.
+    """
+    from . import dd
+
+    rh, rl = kh_ref[:], kl_ref[:]
+    for s in range(arity):
+        suh = jax.lax.dot_general(
+            e_refs[s][:], uh_ref[:], (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        sul = jax.lax.dot_general(
+            e_refs[s][:], ul_ref[:], (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        rh, rl = dd.pair_mul(rh, rl, suh, sul)
+    return dd.pair_chop_slices(rh, rl)
+
+
+def _accumulate_chunk(chunk, nt_ref, s0, s1, s2, hi, lo, err_acc, sl):
+    """The unrolled TwoSum accumulation loop shared by all chunk kernels."""
+    for j in range(chunk):
+        ncol = nt_ref[:, j:j + 1]            # (ns_pad, 1) static lane slice
+        p = ncol * s0[j:j + 1, :]
+        q = ncol * s1[j:j + 1, :]
+        s = hi + p
+        bp = s - hi
+        e = (hi - (s - bp)) + (p - bp)
+        hi = s
+        t = lo + q
+        bq = t - lo
+        f = (lo - (t - bq)) + (q - bq)
+        lo = t
+        err_acc = err_acc + (e + f)
+        sl = sl + ncol * s2[j:j + 1, :]
+    return hi, lo, err_acc, sl
+
+
+def _fused_grid_kernel(chunk, arity, *refs):
+    """Grid-mode fused kernel: one launch, nchunk sequential grid steps.
+
+    TPU grid iterations run sequentially on the core, so the accumulator
+    OUTPUT blocks (constant index_map) stay resident in VMEM across steps
+    — the scan-of-launches carry becomes free, collapsing nchunk kernel
+    launches (~13 us fixed cost each on a remote-attached chip) into one.
+    """
+    nt_ref = refs[0]
+    e_refs = refs[1:1 + arity]
+    kh_ref, kl_ref, uh_ref, ul_ref = refs[1 + arity:5 + arity]
+    hi_ref, lo_ref, er_ref, sl_ref = refs[5 + arity:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        zero = jnp.zeros(hi_ref.shape, hi_ref.dtype)
+        hi_ref[:] = zero
+        lo_ref[:] = zero
+        er_ref[:] = zero
+        sl_ref[:] = zero
+
+    s0, s1, s2 = _fused_rates_slices(chunk, arity, e_refs,
+                                     kh_ref, kl_ref, uh_ref, ul_ref)
+    hi, lo, er, sl = _accumulate_chunk(
+        chunk, nt_ref, s0, s1, s2,
+        hi_ref[:], lo_ref[:], er_ref[:], sl_ref[:])
+    hi_ref[:] = hi
+    lo_ref[:] = lo
+    er_ref[:] = er
+    sl_ref[:] = sl
+
+
+def _fused_scan_kernel(chunk, arity, *refs):
+    """Scan-mode fused kernel: accumulators carried between launches
+    (fallback when the grid machinery is unavailable)."""
+    nt_ref = refs[0]
+    e_refs = refs[1:1 + arity]
+    kh_ref, kl_ref, uh_ref, ul_ref = refs[1 + arity:5 + arity]
+    hi_in, lo_in, er_in, sl_in = refs[5 + arity:9 + arity]
+    hi_ref, lo_ref, er_ref, sl_ref = refs[9 + arity:]
+
+    s0, s1, s2 = _fused_rates_slices(chunk, arity, e_refs,
+                                     kh_ref, kl_ref, uh_ref, ul_ref)
+    hi, lo, er, sl = _accumulate_chunk(
+        chunk, nt_ref, s0, s1, s2,
+        hi_in[:], lo_in[:], er_in[:], sl_in[:])
+    hi_ref[:] = hi
+    lo_ref[:] = lo
+    er_ref[:] = er
+    sl_ref[:] = sl
+
+
+class FusedMassActionRHS:
+    """One-launch Pallas evaluation of the full mass-action RHS on TPU.
+
+    Fuses the entire hot path of ``du = (k * prod_s u[slot_s]) @ N`` —
+    slot gathers, arity products, rate-constant scaling (all in
+    error-free double-f32 pair arithmetic), slice chopping, and the
+    sliced-compensated reaction contraction — into a single Pallas grid
+    launch. Compared with the XLA pipeline feeding :class:`DDContraction`
+    (measured nc=24, B=64: ~10 elementwise fusion kernels for the rates
+    plus ``nr_pad/DD_CHUNK`` chained contraction launches per RHS eval,
+    each launch costing ~13 us of fixed latency inside the Newton
+    while-loop), this removes every intermediate HBM round-trip and all
+    but one launch.
+
+    Inputs per lane: clipped-augmented concentration pair (uh, ul) of
+    length ns+1 (trailing constant 1.0) and rate-constant pair (kh, kl)
+    of length nr; output f64 (ns,) du. Batched via custom_vmap into the
+    lane axis of one kernel. Accuracy identical to DDContraction's pair
+    path (~2^-45 relative; the one-hot MXU gathers are exact).
+    """
+
+    supports_pair = True
+    supports_fused = True
+
+    def __init__(self, N: jnp.ndarray, reac_slots, max_batch: int = 512,
+                 mode: str = "auto", interpret: bool = False):
+        import numpy as np
+        Nh = np.asarray(N, dtype=np.float64)
+        if Nh.size and np.abs(Nh).max() > MAX_EXACT_STOICH:
+            raise ValueError(
+                f"stoichiometry magnitudes above {MAX_EXACT_STOICH} break "
+                "the exact-product slice width; use the f64 path")
+        if Nh.size and np.any(Nh != np.round(Nh)):
+            raise ValueError("fused RHS requires integer stoichiometry")
+        slots = np.asarray(reac_slots)
+        nr, ns = Nh.shape
+        arity = slots.shape[1]
+        if slots.shape[0] != nr:
+            raise ValueError("reac_slots/N reaction count mismatch")
+        self.nr, self.ns, self.arity = nr, ns, arity
+        self.nr_pad = _pad_up(max(nr, DD_CHUNK), DD_CHUNK)
+        self.ns_pad = _pad_up(max(ns, SUBLANE), SUBLANE)
+        # augmented species axis (constant-1 column lives at index ns)
+        self.ns_aug_pad = _pad_up(ns + 1, SUBLANE)
+        self.max_batch = max_batch
+        if mode == "auto":
+            # resolved HERE (host side, before any trace): the probe runs
+            # an eager pallas_call, which must not happen mid-trace
+            mode = ("grid" if (not interpret and fused_grid_supported())
+                    else "scan")
+        self.mode = mode
+        self.interpret = interpret
+
+        NT = np.zeros((self.ns_pad, self.nr_pad), dtype=np.float32)
+        NT[:ns, :nr] = Nh.T
+        self._NT = jnp.asarray(NT)
+        E = np.zeros((arity, self.nr_pad, self.ns_aug_pad), dtype=np.float32)
+        for s in range(arity):
+            E[s, np.arange(nr), slots[:, s]] = 1.0
+        # padding reactions gather the constant-1 column (exact no-ops
+        # because their k pair is zero and their NT column is zero)
+        E[:, nr:, ns] = 1.0
+        self._E = jnp.asarray(E)
+
+        self._rhs = _make_fused_rhs(nr, ns, arity, self.nr_pad,
+                                    self.ns_aug_pad, max_batch, mode,
+                                    interpret)
+
+    def rhs_pair(self, uh, ul, kh, kl):
+        """du (f64, (ns,)) from augmented-u and k double-f32 pairs."""
+        return self._rhs(uh, ul, kh, kl, self._NT, self._E)
+
+
+def _fused_call(NT32, E, uhT, ulT, khT, klT, arity, mode: str,
+                interpret: bool = False):
+    """Kernel driver: (ns_aug_pad, B) u pairs + (nr_pad, B) k pairs ->
+    f64 (B, ns_pad) du. ``mode`` "grid" runs one launch with a
+    sequential grid; "scan" chains per-chunk launches with carried
+    accumulators."""
+    ns_pad, nr_pad = NT32.shape
+    ns_aug_pad = uhT.shape[0]
+    B = uhT.shape[1]
+    assert nr_pad % DD_CHUNK == 0
+    nchunk = nr_pad // DD_CHUNK
+
+    acc = jax.ShapeDtypeStruct((ns_pad, B), jnp.float32)
+    if mode == "grid":
+        kernel = pl.pallas_call(
+            functools.partial(_fused_grid_kernel, DD_CHUNK, arity),
+            grid=(nchunk,),
+            in_specs=(
+                [pl.BlockSpec((ns_pad, DD_CHUNK), lambda i: (0, i))]
+                + [pl.BlockSpec((DD_CHUNK, ns_aug_pad), lambda i: (i, 0))
+                   ] * arity
+                + [pl.BlockSpec((DD_CHUNK, B), lambda i: (i, 0))] * 2
+                + [pl.BlockSpec((ns_aug_pad, B), lambda i: (0, 0))] * 2),
+            out_specs=(pl.BlockSpec((ns_pad, B), lambda i: (0, 0)),) * 4,
+            out_shape=(acc,) * 4,
+            interpret=interpret,
+        )
+        hi, lo, er, sl = kernel(NT32, *[E[s] for s in range(arity)],
+                                khT, klT, uhT, ulT)
+    else:
+        kernel = pl.pallas_call(
+            functools.partial(_fused_scan_kernel, DD_CHUNK, arity),
+            out_shape=(acc,) * 4,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + arity),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
+            interpret=interpret,
+        )
+        nt_c = NT32.reshape(ns_pad, nchunk, DD_CHUNK).transpose(1, 0, 2)
+        e_c = E.reshape(arity, nchunk, DD_CHUNK, ns_aug_pad)
+        kh_c = khT.reshape(nchunk, DD_CHUNK, B)
+        kl_c = klT.reshape(nchunk, DD_CHUNK, B)
+        zero = jnp.zeros((ns_pad, B), jnp.float32)
+
+        def body(carry, xs):
+            ntc, ec, a, b = xs
+            return kernel(ntc, *[ec[s] for s in range(arity)], a, b,
+                          uhT, ulT, *carry), None
+
+        (hi, lo, er, sl), _ = lax.scan(
+            body, (zero, zero, zero, zero),
+            (nt_c, e_c.transpose(1, 0, 2, 3), kh_c, kl_c))
+
+    du = (hi.astype(jnp.float64) + lo.astype(jnp.float64)
+          + er.astype(jnp.float64) + sl.astype(jnp.float64))
+    return du.T
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_rhs(nr: int, ns: int, arity: int, nr_pad: int,
+                    ns_aug_pad: int, max_batch: int, mode: str,
+                    interpret: bool = False):
+    """Build the per-geometry fused-RHS primitive (cached per shape)."""
+
+    def rhs_b(uh, ul, kh, kl, NT, E):       # (B, *) f32 -> (B, ns) f64
+        B = uh.shape[0]
+        uhT = jnp.zeros((ns_aug_pad, B), jnp.float32).at[:ns + 1].set(uh.T)
+        ulT = jnp.zeros((ns_aug_pad, B), jnp.float32).at[:ns + 1].set(ul.T)
+        khT = jnp.zeros((nr_pad, B), jnp.float32).at[:nr].set(kh.T)
+        klT = jnp.zeros((nr_pad, B), jnp.float32).at[:nr].set(kl.T)
+        return _fused_call(NT, E, uhT, ulT, khT, klT, arity, mode,
+                           interpret=interpret)[:, :ns]
+
+    @jax.custom_batching.custom_vmap
+    def rhs_one(uh, ul, kh, kl, NT, E):     # per-lane -> (ns,) f64
+        return rhs_b(uh[None], ul[None], kh[None], kl[None], NT, E)[0]
+
+    @rhs_one.def_vmap
+    def _vmap_rule(axis_size, in_batched, uh, ul, kh, kl, NT, E):
+        del axis_size
+        assert in_batched[0] and in_batched[2], in_batched
+        if in_batched[4]:
+            NT = NT[0]                      # batched-cond broadcast: undo
+        if in_batched[5]:
+            E = E[0]
+        lead = uh.shape[:-1]
+        fu = uh.reshape((-1, uh.shape[-1]))
+        fl = ul.reshape((-1, ul.shape[-1]))
+        fkh = kh.reshape((-1, kh.shape[-1]))
+        fkl = kl.reshape((-1, kl.shape[-1]))
+        if fu.shape[0] > max_batch:
+            nch = -(-fu.shape[0] // max_batch)
+            Bp = nch * max_batch
+
+            def padto(x):
+                return jnp.zeros((Bp, x.shape[1]), x.dtype).at[:x.shape[0]].set(x)
+
+            out = lax.map(
+                lambda ab: rhs_b(ab[0], ab[1], ab[2], ab[3], NT, E),
+                (padto(fu).reshape(nch, max_batch, -1),
+                 padto(fl).reshape(nch, max_batch, -1),
+                 padto(fkh).reshape(nch, max_batch, -1),
+                 padto(fkl).reshape(nch, max_batch, -1)))
+            out = out.reshape(Bp, -1)[:fu.shape[0]]
+        else:
+            out = rhs_b(fu, fl, fkh, fkl, NT, E)
+        return out.reshape(lead + (ns,)), True
+
+    return rhs_one
+
+
+_FUSED_GRID_OK: bool | None = None
+
+
+def fused_grid_supported() -> bool:
+    """Probe (once per process) whether the Pallas grid machinery works
+    on this backend/config — under x64 some jax versions capture i64
+    values in the grid lowering and crash Mosaic (see pallas_linalg.py).
+    Falls back to scan mode when the probe fails."""
+    global _FUSED_GRID_OK
+    if _FUSED_GRID_OK is None:
+        if jax.default_backend() == "cpu":
+            _FUSED_GRID_OK = False          # CPU callers use interpret/scan
+        else:
+            try:
+                x = jnp.zeros((SUBLANE, LANE), jnp.float32)
+
+                def k(x_ref, o_ref):
+                    @pl.when(pl.program_id(0) == 0)
+                    def _():
+                        o_ref[:] = jnp.zeros_like(o_ref)
+                    o_ref[:] = o_ref[:] + x_ref[:]
+
+                out = pl.pallas_call(
+                    k, grid=(2,),
+                    in_specs=[pl.BlockSpec((SUBLANE, LANE), lambda i: (0, 0))],
+                    out_specs=pl.BlockSpec((SUBLANE, LANE), lambda i: (0, 0)),
+                    out_shape=jax.ShapeDtypeStruct((SUBLANE, LANE),
+                                                   jnp.float32),
+                )(x + 1.0)
+                _FUSED_GRID_OK = bool(abs(float(out[0, 0]) - 2.0) < 1e-6)
+            except Exception:
+                _FUSED_GRID_OK = False
+    return _FUSED_GRID_OK
 
 
 def dd_reference(r: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:

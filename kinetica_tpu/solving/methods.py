@@ -164,15 +164,28 @@ def _resolve_contraction(net: MassActionNetwork, pars=None):
             return None
         if net.N.dtype != jnp.float64:
             return None    # f32 solves: the plain f32 dot is already fast
-    from ..ops.pallas_matmul import DDContraction
+    from ..ops.pallas_matmul import DDContraction, FusedMassActionRHS
+    # Explicit "fused"/"dd" on CPU run the kernels in Pallas interpret
+    # mode: bit-identical semantics to the device kernels (slow — meant
+    # for debugging/verification, never chosen by "auto" on CPU).
+    interp = jax.default_backend() == "cpu"
     try:
-        return DDContraction(net.N)
+        if choice in ("auto", "fused"):
+            # auto prefers the fully-fused RHS kernel (one launch per
+            # eval); DDContraction remains as the explicit "dd" choice
+            # and the fallback for unsupported slot layouts
+            return FusedMassActionRHS(net.N, net.reac_slots,
+                                      interpret=interp)
+        return DDContraction(net.N, interpret=interp)
     except ValueError as exc:
-        if choice == "dd":
+        if choice in ("dd", "fused"):
             raise
-        logger.info(" - dd contraction unavailable (%s); keeping f64 dot",
-                    exc)
-        return None
+        try:
+            return DDContraction(net.N, interpret=interp)
+        except ValueError:
+            logger.info(" - dd contraction unavailable (%s); keeping f64 "
+                        "dot", exc)
+            return None
 
 
 def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
@@ -223,8 +236,20 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
         def prepare(t_stage, t_start, a):
             return pair_from_f64(inner_prepare(t_stage, t_start, a))
 
-        def rhs(t, u, k_pair):
-            return contraction.contract_pair(*net.rates_pair(u, k_pair))
+        if getattr(contraction, "supports_fused", False):
+            # fully-fused Pallas RHS: gathers, pair products and the
+            # compensated contraction in ONE kernel launch; only the
+            # cheap (ns,)-sized clip/augment/pair-split stays in XLA
+            from ..models.mass_action import _clip_pos
+
+            def rhs(t, u, k_pair):
+                u_aug = jnp.concatenate([_clip_pos(u),
+                                         jnp.ones((1,), u.dtype)])
+                uh, ul = pair_from_f64(u_aug)
+                return contraction.rhs_pair(uh, ul, *k_pair)
+        else:
+            def rhs(t, u, k_pair):
+                return contraction.contract_pair(*net.rates_pair(u, k_pair))
 
         def k_for_jac(k_pair):
             if jdt == jnp.float32:

@@ -45,11 +45,12 @@ class ODESimulationParams:
     #   "auto" = f32 on accelerators (J is a preconditioner; f64 emulation
     #   is ~12x slower on TPU), f64 on CPU | "float32" | "float64"
     chunks_per_dispatch: int | None = None      # None = auto (all on CPU, 32 on TPU)
-    # RHS contraction r @ N implementation: "auto" = the Pallas sliced-
-    # compensated kernel on accelerators (f64-accurate without f64
-    # matmuls, ops/pallas_matmul.py), plain dot on CPU; "float64" forces
-    # the plain dot everywhere; "dd" forces the kernel (raises if the
-    # stoichiometry is unsupported).
+    # RHS contraction r @ N implementation: "auto" = the fully-fused
+    # Pallas RHS kernel on accelerators (gathers + pair products +
+    # sliced-compensated contraction in one launch, f64-accurate without
+    # f64 matmuls, ops/pallas_matmul.py), plain dot on CPU; "fused"
+    # forces the fused kernel; "dd" the sliced-compensated contraction
+    # with the XLA rate pipeline; "float64" the plain dot everywhere.
     rhs_contraction: str = "auto"
 
     def __post_init__(self):
@@ -88,9 +89,9 @@ class ODESimulationParams:
             raise ValueError(
                 "jac_dtype must be one of ['auto', 'float32', 'float64']")
 
-        if self.rhs_contraction not in ("auto", "float64", "dd"):
-            raise ValueError(
-                "rhs_contraction must be one of ['auto', 'float64', 'dd']")
+        if self.rhs_contraction not in ("auto", "float64", "dd", "fused"):
+            raise ValueError("rhs_contraction must be one of "
+                             "['auto', 'float64', 'dd', 'fused']")
 
         # Sparse Newton matrices are a CPU/KLU concept (reference
         # params.jl:55-110); on TPU the dense path IS the fast path (MXU

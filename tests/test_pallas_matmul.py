@@ -158,6 +158,67 @@ class TestPairArithmetic:
         np.testing.assert_array_equal(got, exact)
 
 
+def _fused_rhs_vs_reference(mode, nc=8, B=5, min_arity=2, seed=7,
+                            interpret=True):
+    from kinetica_tpu.models.mass_action import _clip_pos, build_mass_action
+    from kinetica_tpu.ops.dd import pair_from_f64
+    from kinetica_tpu.ops.pallas_matmul import FusedMassActionRHS
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, _, _ = synthetic_pyrolysis_network(nc)
+    net = build_mass_action(rd, sd.n, min_arity=min_arity)
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(np.abs(rng.normal(size=(B, net.ns)))
+                    * 10.0 ** rng.uniform(-8, 0, (B, net.ns)))
+    k = jnp.asarray(10.0 ** rng.uniform(0, 10, (B, net.nr)))
+    fused = FusedMassActionRHS(net.N, net.reac_slots, mode=mode,
+                               interpret=interpret)
+
+    def one(u1, k1):
+        u_aug = jnp.concatenate([_clip_pos(u1), jnp.ones((1,), u1.dtype)])
+        uh, ul = pair_from_f64(u_aug)
+        kh, kl = pair_from_f64(k1)
+        return fused.rhs_pair(uh, ul, kh, kl)
+
+    got = np.asarray(jax.vmap(one)(u, k))
+    ref = np.asarray(jax.vmap(net.rhs)(u, k))
+    scale = np.max(np.abs(ref), axis=1, keepdims=True) + 1e-300
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-12, rtol=0)
+    # unbatched entry agrees too
+    got1 = np.asarray(one(u[0], k[0]))
+    np.testing.assert_allclose(got1 / scale[0], ref[0] / scale[0],
+                               atol=1e-12, rtol=0)
+
+
+class TestFusedRHSInterpret:
+    """Fully-fused RHS kernel (gathers + pair products + contraction in
+    one launch) against the exact f64 mass-action RHS, in interpret mode."""
+
+    def test_scan_mode(self):
+        _fused_rhs_vs_reference("scan")
+
+    def test_grid_mode(self):
+        _fused_rhs_vs_reference("grid")
+
+    def test_widened_arity_padding_slots(self):
+        # min_arity=3 widens every reaction with a constant-1 padding
+        # slot: the fused kernel's padding gathers must be exact no-ops
+        _fused_rhs_vs_reference("grid", min_arity=3)
+
+    def test_validation(self):
+        from kinetica_tpu.ops.pallas_matmul import FusedMassActionRHS
+        with pytest.raises(ValueError, match="integer"):
+            FusedMassActionRHS(jnp.asarray([[0.5, 1.0]]),
+                               np.asarray([[0, 1]]))
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="real Pallas kernel needs TPU")
+class TestFusedRHSDevice:
+    def test_auto_mode_matches_f64(self):
+        _fused_rhs_vs_reference("auto", nc=12, B=8, interpret=False)
+
+
 @pytest.mark.skipif(jax.default_backend() == "cpu",
                     reason="real Pallas kernel needs TPU")
 class TestPairKernelDevice:
