@@ -199,7 +199,7 @@ def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
 @partial(jax.jit, static_argnames=("rhs", "jac", "max_steps", "nonnegative",
                                    "nonnegative_project", "lu_precision",
                                    "refine", "linsolve", "jac_policy",
-                                   "prepare"))
+                                   "prepare", "lu_drift_tol"))
 def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               t0, tf, saveat: jnp.ndarray,
               rtol=1e-8, atol=1e-10,
@@ -212,6 +212,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               refine: int = 1,
               linsolve: str = "auto",
               jac_policy: str = "lazy",
+              lu_drift_tol: float = 0.1,
               prepare: Callable | None = None,
               args=None) -> BDFResults:
     """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to tf with BDF(1-5).
@@ -340,8 +341,28 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     # Newton linear-solve method: explicit Pallas inverse on TPU ("inv"),
     # LAPACK LU on CPU / wide systems — see linalg.resolve_linsolve.
     linsolve = resolve_linsolve(linsolve, ns)
-    if linsolve == "inv":
+    if linsolve in ("inv", "inv_fused"):
         lu_dtype = jnp.float32
+    if linsolve == "inv_fused":
+        # Tile-align the Newton linear algebra ONCE at the source: the
+        # Jacobian is padded to the Pallas sublane multiple right after
+        # evaluation (gated, rare), so the per-solve kernel operands
+        # (J, and the factor inverse, which inherits the padding through
+        # I - cJ) are already aligned — unaligned operands cost Mosaic
+        # an on-stack relayout copy per matrix per launch (measured:
+        # VMEM-stack OOM at B=64/ns=73), and padding per *solve* in XLA
+        # costs two (B, ns, ns) copies per Newton iteration instead of
+        # zero. The padded block of I - cJ is an exact identity, so the
+        # factor, equilibration scales and solves are unchanged on the
+        # real rows; solve rhs/solution vectors stay (ns,)-sized.
+        ns_pad = ((ns + 7) // 8) * 8
+        if ns_pad != ns:
+            jac_raw = jac
+
+            def jac(t, y, pre):
+                Jr = jac_raw(t, y, pre)
+                return jnp.zeros((ns_pad, ns_pad), Jr.dtype
+                                 ).at[:ns, :ns].set(Jr)
 
     J0 = jac(t0, y0, pre0)
     c0 = h_init / alpha_t[1]
@@ -531,15 +552,32 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             current_jac = jnp.asarray(True)
             c_lu_next = c
         else:
-            # --- LU cache: refactor if c drifted (h/order change) ---
-            need_lu = jnp.abs(c - s.c_lu) > 1e-12 * jnp.abs(c)
+            # --- LU cache: refactor only if c drifted substantially ---
+            # CVODE-style wide tolerance (its dgmax=0.3): factors built at
+            # a stale c' stay useful because newton_solve's f64 iterative
+            # refinement targets the residual of the CURRENT (I - c J) —
+            # each sweep contracts the solve error by ~|1 - c/c'|, so
+            # moderate drifts cost at most a few adaptive sweeps (which
+            # themselves zero-trip when unneeded) instead of a refactor.
+            # ``lu_drift_tol`` trades refactor frequency against Newton
+            # quality: too wide and the worst lane's step count grows
+            # (batch-synchronous cost follows the max lane).
+            need_lu = jnp.abs(c - s.c_lu) > lu_drift_tol * jnp.abs(c)
 
-            def refactor(J):
-                f = newton_factor(J, c_state, lu_dtype, method=linsolve)
-                return f.lu, f.piv
+            # GATING, not lax.cond: under vmap, cond lowers to select-
+            # with-both-branches, so the factor path (Pallas Gauss-Jordan
+            # + Newton-Schulz, ~0.5 ms at B=64/ns=73) would run EVERY
+            # step although lanes refactor only ~0.07x/step. A zero-trip
+            # while_loop is batched as run-while-ANY-lane-needs-it with
+            # per-lane carry masking — the whole batch skips the factor
+            # entirely on the (common) steps where no lane drifted.
+            def refactor_body(carry):
+                del carry
+                f = newton_factor(s.J, c_state, lu_dtype, method=linsolve)
+                return jnp.asarray(False), f.lu, f.piv
 
-            lu, piv = lax.cond(need_lu, lambda: refactor(s.J),
-                               lambda: (s.lu, s.piv))
+            _, lu, piv = lax.while_loop(lambda cr: cr[0], refactor_body,
+                                        (need_lu, s.lu, s.piv))
             n_lu = s.n_lu + need_lu.astype(jnp.int32)
             fact = NewtonFactors(lu=lu, piv=piv, J=s.J, c=c_state)
 
@@ -550,9 +588,16 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             # step on the *next* outer iteration instead of retrying
             # in-line (costs one extra outer iteration only when a lane
             # actually fails; CVODE structures its retry the same way).
+            # Same zero-trip gating (jac is ~0.26 ms at B=64, needed
+            # ~0.01x/step per lane).
             refresh = (~converged) & (~s.current_jac)
-            J = lax.cond(refresh, lambda: jac(t_new, y_pred, pre),
-                         lambda: s.J)
+
+            def jac_body(carry):
+                del carry
+                return jnp.asarray(False), jac(t_new, y_pred, pre)
+
+            _, J = lax.while_loop(lambda cr: cr[0], jac_body,
+                                  (refresh, s.J))
             current_jac = s.current_jac | refresh
             n_jev = s.n_jev + refresh.astype(jnp.int32)
             # Force an LU refactor with the fresh J next iteration.

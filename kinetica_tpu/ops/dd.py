@@ -75,6 +75,19 @@ def pair_mul(xh, xl, yh, yl):
     return fast_two_sum(p, e)
 
 
+def pair_add(xh, xl, yh, yl):
+    """Renormalised pair sum: (xh+xl)+(yh+yl) to ~2^-45 relative
+    (Dekker's "sloppy" add — sufficient here: consumers tolerate
+    relative error well above pair width)."""
+    s, e = two_sum(xh, yh)
+    e = e + (xl + yl)
+    return fast_two_sum(s, e)
+
+
+def pair_neg(xh, xl):
+    return -xh, -xl
+
+
 def pair_chop_slices(hi, lo):
     """(hi, lo) pair -> three f32 slices (s0, s1, s2) for the contraction
     kernel: s0/s1 carry 21-bit mantissas (exact products with small-int

@@ -48,6 +48,11 @@ def resolve_linsolve(method: str, ns: int) -> str:
         return method
     if jax.default_backend() == "cpu" or ns > MAX_PALLAS_N:
         return "lu"
+    # "inv_fused" (whole solve in one Pallas launch) wins ~8% on
+    # saturated/ill-conditioned regimes where refinement sweeps run
+    # deep, but loses ~10% on the production bench where Newton
+    # converges shallow and XLA pipelines the batched MXU matvecs
+    # across the step's dataflow — keep the XLA solve as the default.
     return "inv"
 
 
@@ -100,10 +105,12 @@ def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
     ns = J.shape[0]
     A = _newton_matrix(J, c)
 
-    if method == "inv":
+    if method in ("inv", "inv_fused"):
         from .dd import newton_schulz_refine
         As, dr, dc = _equilibrate(A)
-        minv32 = gj_inverse(As)
+        # explicit inv on the CPU backend (debug/verification; "auto"
+        # never picks it there) runs the kernel in interpret mode
+        minv32 = gj_inverse(As, interpret=jax.default_backend() == "cpu")
         # Newton-Schulz with pair-precision residuals: the f32 inversion
         # error is ~eps32 * cond(As); for saturated-rate CRNs cond can
         # reach 1e7+ even after equilibration, leaving 10%+ solve errors
@@ -141,6 +148,16 @@ def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
     """
     dtype = b.dtype
     lu_dtype = f.lu.dtype
+
+    if method == "inv_fused":
+        # Entire solve (matvec + pair-precision refinement + adaptive
+        # stopping) in one Pallas launch — the XLA formulation below
+        # costs ~6 launches through matvecs, norm reductions and the
+        # adaptive while_loop, which dominate at CRN sizes.
+        from .pallas_linalg import fused_newton_solve
+        return fused_newton_solve(f.lu, f.J, b, jnp.asarray(f.c, dtype),
+                                  n_sweeps=max_refine,
+                                  interpret=jax.default_backend() == "cpu")
 
     if method == "inv":
         def solve32(v):

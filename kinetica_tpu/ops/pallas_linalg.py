@@ -205,3 +205,201 @@ def gj_inverse(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     if interpret:
         return _gj_call(A[None], interpret=True)[0]
     return _gj_inverse_diff(A)
+
+
+# ---------------------------------------------------------------------------
+# Fused Newton solve: preconditioner matvec + f64-equivalent iterative
+# refinement + adaptive stopping in ONE Pallas launch.
+# ---------------------------------------------------------------------------
+
+def _ns_matvec(m, v):
+    """In-kernel batched matvec: (B, n, n) f32 x (B, n) f32 -> (B, n).
+
+    Formulated as a broadcast-multiply + lane-axis reduction — Mosaic has
+    no batched dot_general, and per-lane matrices rule out a single MXU
+    matmul; at n ~ 10^2 the VPU reduction is a few hundred kflop, far
+    below launch cost."""
+    return jnp.sum(m * v[:, None, :], axis=2)
+
+
+def _newton_solve_kernel(n_sweeps: int, m_ref, j_ref, bh_ref, bl_ref,
+                         ch_ref, cl_ref, dyh_ref, dyl_ref, act_ref):
+    """Solve (I - c J) dy = b for the whole batch in one launch.
+
+    ``m_ref`` holds the (scale-folded, possibly stale-c) f32 inverse
+    preconditioner; refinement sweeps recompute the residual of the
+    CURRENT (I - c J) in double-f32 pair precision, mirroring
+    linalg.newton_solve's f64 refinement: sweep 1 is mandatory, later
+    sweeps run per-lane only while the correction remains a significant
+    (>1e-4) fraction of the solution. All pair arithmetic is f32
+    (ops/dd.py error-free transforms); b and c enter as (hi, lo) pairs.
+
+    The extra sweeps run in an in-kernel i32 while_loop (scalar carry +
+    ref mutation — the Mosaic-safe pattern from the Gauss-Jordan kernel)
+    with a jump-to-exit when no lane's correction is still significant,
+    so the common well-conditioned case pays ONE sweep's arithmetic, not
+    ``n_sweeps`` statically-unrolled ones.
+    """
+    from . import dd
+
+    M = m_ref[:]
+    J = j_ref[:]
+    bh, bl = bh_ref[:], bl_ref[:]
+    ch, cl = ch_ref[:], cl_ref[:]                     # (B, 1)
+    zero = jnp.zeros_like(bh)
+    tiny = jnp.float32(1e-30)
+
+    dyh_ref[:] = _ns_matvec(M, bh + bl)
+    dyl_ref[:] = zero
+    act_ref[:] = jnp.ones_like(act_ref)
+
+    def sweep():
+        dyh, dyl = dyh_ref[:], dyl_ref[:]
+        active = act_ref[:] > 0.0
+        dy32 = dyh + dyl
+        Jdy = _ns_matvec(J, dy32)
+        ph, pl_ = dd.pair_mul(ch, cl, Jdy, zero)      # c * (J @ dy)
+        th, tl = dd.pair_add(dyh, dyl, -ph, -pl_)     # dy - c J dy
+        rh, rl = dd.pair_add(bh, bl, -th, -tl)        # b - (dy - c J dy)
+        corr = _ns_matvec(M, rh + rl)
+        uh, ul = dd.pair_add(dyh, dyl, corr, zero)
+        dyh = jnp.where(active, uh, dyh)
+        dyl = jnp.where(active, ul, dyl)
+        dyh_ref[:] = dyh
+        dyl_ref[:] = dyl
+        dy32 = dyh + dyl
+        ncorr = jnp.sqrt(jnp.sum(corr * corr, axis=1, keepdims=True))
+        ndy = jnp.sqrt(jnp.sum(dy32 * dy32, axis=1, keepdims=True))
+        act = active & (ncorr > 1e-4 * jnp.maximum(ndy, tiny))
+        act_ref[:] = act.astype(jnp.float32)
+        return jnp.max(act_ref[:]) > 0.0
+
+    sweep()                                           # mandatory sweep
+
+    def body(it):
+        more = sweep()
+        return jnp.where(more, it + jnp.int32(1), jnp.int32(n_sweeps))
+
+    lax.while_loop(lambda it: it < jnp.int32(n_sweeps), body, jnp.int32(1))
+
+
+def _fused_solve_max_batch(n_pad: int) -> int:
+    """Members per launch: M + J resident plus ~2 (B, n, n) temporaries."""
+    budget = 10 * 1024 * 1024
+    per_member = 4 * n_pad * max(n_pad, LANE) * 4
+    return max(8, (budget // per_member) // 8 * 8)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_fused_solve(n: int, n_pad: int, n_sweeps: int, interpret: bool):
+    max_batch = _fused_solve_max_batch(n_pad)
+
+    def solve_b(M, J, b, c):
+        """(B, n_pad, n_pad) f32 x2, (B, n) f64, (B,) f64 -> (B, n) f64.
+
+        M and J arrive PRE-padded from the caller (the BDF loop pads the
+        Jacobian once per gated refresh, and the factor inherits it):
+        per-solve XLA zero-padding cost two (B, n, n) copies per Newton
+        iteration, while passing unpadded operands costs Mosaic an
+        on-stack relayout copy per matrix (VMEM-stack OOM at
+        B=64/ns=73). Only the small rhs vectors are padded here."""
+        from . import dd
+        B = b.shape[0]
+        bh, bl = dd.pair_from_f64(b)
+        if n_pad != n:
+            bh = jnp.zeros((B, n_pad), jnp.float32).at[:, :n].set(bh)
+            bl = jnp.zeros((B, n_pad), jnp.float32).at[:, :n].set(bl)
+        ch, cl = dd.pair_from_f64(c)
+        out = jax.ShapeDtypeStruct((B, n_pad), jnp.float32)
+        # raise the scoped-VMEM ceiling: M + J + the sweep loop's two
+        # (B, n, n) broadcast temporaries exceed the 16M default at
+        # B=64/n=80 (the in-kernel while_loop blocks XLA's cross-phase
+        # temp sharing); the kernel's true working set still fits VMEM
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        dyh, dyl = pl.pallas_call(
+            functools.partial(_newton_solve_kernel, n_sweeps),
+            out_shape=(out, out),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+            scratch_shapes=[pltpu.VMEM((B, 1), jnp.float32)],
+            interpret=interpret,
+            **kwargs,
+        )(M, J.astype(jnp.float32), bh, bl, ch[:, None], cl[:, None])
+        return (dyh[:, :n].astype(b.dtype) + dyl[:, :n].astype(b.dtype))
+
+    @jax.custom_batching.custom_vmap
+    def solve_one(M, J, b, c):
+        return solve_b(M[None], J[None], b[None], c[None])[0]
+
+    @solve_one.def_vmap
+    def _vmap_rule(axis_size, in_batched, M, J, b, c):
+        del axis_size
+        assert all(in_batched), in_batched
+        lead = b.shape[:-1]
+        Mf = M.reshape((-1, n_pad, n_pad))
+        Jf = J.reshape((-1,) + J.shape[-2:])
+        bf = b.reshape((-1, n))
+        cf = c.reshape((-1,))
+        B = bf.shape[0]
+        if B > max_batch:
+            nch = -(-B // max_batch)
+            Bp = nch * max_batch
+
+            def padto(x):
+                return jnp.zeros((Bp,) + x.shape[1:], x.dtype
+                                 ).at[:x.shape[0]].set(x)
+
+            out = lax.map(
+                lambda t: solve_b(*t),
+                (padto(Mf).reshape((nch, max_batch) + Mf.shape[1:]),
+                 padto(Jf).reshape((nch, max_batch) + Jf.shape[1:]),
+                 padto(bf).reshape((nch, max_batch, n)),
+                 padto(cf).reshape((nch, max_batch))))
+            out = out.reshape(Bp, n)[:B]
+        else:
+            out = solve_b(Mf, Jf, bf, cf)
+        return out.reshape(lead + (n,)), True
+
+    return solve_one
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4, 5))
+def _fused_solve_diff(M, J, b, c, n_sweeps, interpret):
+    fn = _make_fused_solve(b.shape[-1], M.shape[-1], n_sweeps, interpret)
+    return fn(M, J, b, c)
+
+
+@_fused_solve_diff.defjvp
+def _fused_solve_jvp(n_sweeps, interpret, primals, tangents):
+    """Approximate forward-mode rule: the solve acts as b -> A^-1 b with
+    A = I - c J (refined to ~1e-4 by the kernel), so
+    d(dy) = A^-1 (db + dc (J dy) + c (dJ dy)); the preconditioner
+    tangent dM only perturbs the (already sub-tolerance) refinement
+    error and is dropped — same approximation order as the primal."""
+    (M, J, b, c), (dM, dJ, db, dc) = primals, tangents
+    del dM
+    n = b.shape[-1]
+    dy = _fused_solve_diff(M, J, b, c, n_sweeps, interpret)
+    Jn = J[..., :n, :n]                    # J may be tile-padded
+    dJn = dJ[..., :n, :n]
+    Jdy = (Jn @ dy[..., None].astype(J.dtype))[..., 0].astype(b.dtype)
+    dJdy = (dJn @ dy[..., None].astype(dJ.dtype))[..., 0].astype(b.dtype)
+    rhs_t = db + dc[..., None] * Jdy + c[..., None] * dJdy
+    return dy, _fused_solve_diff(M, J, rhs_t, c, n_sweeps, interpret)
+
+
+def fused_newton_solve(M, J, b, c, n_sweeps: int = 4,
+                       interpret: bool = False):
+    """One-launch Newton solve (I - c J) dy = b with pair-precision
+    refinement (see :func:`_newton_solve_kernel`).
+
+    ``M``: f32 preconditioner inverse (scales folded, possibly stale-c),
+    ``J``: Jacobian (f32 or f64, cast to f32 in-kernel), ``b``: f64
+    residual, ``c``: f64 per-solve scalar. Differentiable (forward mode,
+    via a registered analytic rule) and vmappable; batches chunk
+    automatically to stay inside VMEM.
+    """
+    return _fused_solve_diff(M, J, b, c, n_sweeps, interpret)

@@ -115,6 +115,8 @@ class KineticIntegrator:
             nonnegative=self.pars.ban_negatives,
             nonnegative_project=self.pars.project_negatives,
             lu_precision=self.pars.lu_precision,
+            linsolve=getattr(self.pars, "linsolve", "auto"),
+            lu_drift_tol=getattr(self.pars, "lu_drift_tol", 0.1),
             prepare=self.prepare,
             args=self.args)
 
@@ -307,6 +309,8 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
         max_steps=int(pars.maxiters), nonnegative=pars.ban_negatives,
         nonnegative_project=pars.project_negatives,
         lu_precision=pars.lu_precision, first_step=first_step,
+        linsolve=getattr(pars, "linsolve", "auto"),
+        lu_drift_tol=getattr(pars, "lu_drift_tol", 0.1),
         prepare=prepare, args=args)
     return res.status, res.ys, res.y_final, {
         "n_steps": res.n_steps, "n_accepted": res.n_accepted,

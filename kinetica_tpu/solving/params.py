@@ -52,6 +52,18 @@ class ODESimulationParams:
     # forces the fused kernel; "dd" the sliced-compensated contraction
     # with the XLA rate pipeline; "float64" the plain dot everywhere.
     rhs_contraction: str = "auto"
+    # Newton linear-solve method: "auto" = Pallas explicit inverse +
+    # XLA refinement ("inv") on accelerators, LAPACK "lu" on CPU.
+    # "inv_fused" runs the whole solve (matvec + pair-precision
+    # refinement) in one Pallas launch — faster on saturated /
+    # ill-conditioned regimes where refinement sweeps run deep, slower
+    # on shallow-converging solves (ops/linalg.resolve_linsolve).
+    linsolve: str = "auto"
+    # Relative c = h/alpha drift above which the cached Newton factor is
+    # refactored (CVODE's dgmax analogue; stale-c factors self-correct
+    # through per-solve refinement). Wider = fewer refactors, but the
+    # worst batch lane's step count grows past ~0.25.
+    lu_drift_tol: float = 0.1
 
     def __post_init__(self):
         if self.tspan[0] >= self.tspan[1]:
@@ -92,6 +104,13 @@ class ODESimulationParams:
         if self.rhs_contraction not in ("auto", "float64", "dd", "fused"):
             raise ValueError("rhs_contraction must be one of "
                              "['auto', 'float64', 'dd', 'fused']")
+
+        if self.linsolve not in ("auto", "lu", "inv", "inv_fused"):
+            raise ValueError("linsolve must be one of "
+                             "['auto', 'lu', 'inv', 'inv_fused']")
+
+        if not (0.0 <= self.lu_drift_tol < 1.0):
+            raise ValueError("lu_drift_tol must be in [0, 1)")
 
         # Sparse Newton matrices are a CPU/KLU concept (reference
         # params.jl:55-110); on TPU the dense path IS the fast path (MXU

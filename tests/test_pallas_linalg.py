@@ -79,7 +79,7 @@ def test_newton_inv_path_solves():
     finv = f._replace(lu=jnp.asarray(np.linalg.inv(A), jnp.float32),
                       piv=jnp.zeros((n,), jnp.int32))
     dy = newton_solve(finv, b, refine=2, method="inv")
-    ref = np.linalg.solve(A, np.asarray(b))
+    ref = np.linalg.solve(A, np.asarray(b)[..., None])[..., 0]
     assert np.abs(np.asarray(dy) - ref).max() < 1e-10
 
 
@@ -118,3 +118,115 @@ def test_gj_inverse_jvp_registered_rule(monkeypatch):
                        np.float64)) / (2 * eps)
     scale = np.abs(np.asarray(dMinv)).max()
     assert np.abs(np.asarray(dMinv, dtype=np.float64) - fd).max() / scale < 5e-3
+
+
+class TestFusedNewtonSolve:
+    """One-launch fused Newton solve (matvec + pair refinement) vs the
+    reference inv-path algebra, in interpret mode."""
+
+    def _mk(self, n=12, B=5, c0=0.05, seed=3, cond_spike=False):
+        rng = np.random.default_rng(seed)
+        J = rng.standard_normal((B, n, n))
+        if cond_spike:
+            # scale rows over ~6 decades: badly scaled Newton matrices
+            J = J * 10.0 ** rng.uniform(-3, 3, (B, n, 1))
+        c = np.full(B, c0)
+        b = rng.standard_normal((B, n))
+        # the solved system is (I - c J32): the kernel (like the
+        # production TPU config, jac_dtype=f32) sees the f32-cast J
+        A = np.eye(n)[None] - c[:, None, None] * J.astype(np.float32
+                                                         ).astype(np.float64)
+        return jnp.asarray(J), jnp.asarray(c), jnp.asarray(b), A
+
+    def test_matches_dense_solve(self):
+        from kinetica_tpu.ops.pallas_linalg import fused_newton_solve
+        J, c, b, A = self._mk()
+        M = jnp.asarray(np.linalg.inv(A), jnp.float32)
+        dy = jax.vmap(lambda *t: fused_newton_solve(*t, interpret=True))(
+            M, J, b, c)
+        ref = np.linalg.solve(A, np.asarray(b)[..., None])[..., 0]
+        scale = np.abs(ref).max(axis=1, keepdims=True)
+        # floor: the refinement's J matvec rounds at f32 (exactly the
+        # production jac_dtype=f32 behaviour), ~c*eps32*|J||dy|
+        np.testing.assert_allclose(np.asarray(dy) / scale, ref / scale,
+                                   atol=3e-6, rtol=0)
+
+    def test_stale_c_preconditioner_refines(self):
+        # M built at a 20%-drifted c: refinement must still recover the
+        # CURRENT (I - cJ) solution (the wide-lu_drift_tol contract)
+        from kinetica_tpu.ops.pallas_linalg import fused_newton_solve
+        J, c, b, A = self._mk()
+        A_stale = np.eye(J.shape[-1])[None] - 1.2 * np.asarray(
+            c)[:, None, None] * np.asarray(J)
+        M = jnp.asarray(np.linalg.inv(A_stale), jnp.float32)
+        dy = jax.vmap(lambda *t: fused_newton_solve(*t, interpret=True))(
+            M, J, b, c)
+        ref = np.linalg.solve(A, np.asarray(b)[..., None])[..., 0]
+        scale = np.abs(ref).max(axis=1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(dy) / scale, ref / scale,
+                                   atol=2e-4, rtol=0)
+
+    def test_unbatched_and_chunked(self):
+        from kinetica_tpu.ops import pallas_linalg as plg
+        J, c, b, A = self._mk(n=6, B=3)
+        M = jnp.asarray(np.linalg.inv(A), jnp.float32)
+        one = plg.fused_newton_solve(M[0], J[0], b[0], c[0], interpret=True)
+        ref = np.linalg.solve(A[0], np.asarray(b[0]))
+        np.testing.assert_allclose(np.asarray(one), ref, atol=3e-6)
+        # force the > max_batch lax.map path
+        import unittest.mock as mock
+        with mock.patch.object(plg, "_fused_solve_max_batch",
+                               lambda n_pad: 8):
+            plg._make_fused_solve.cache_clear()
+            J2, c2, b2, A2 = self._mk(n=6, B=19, seed=9)
+            M2 = jnp.asarray(np.linalg.inv(A2), jnp.float32)
+            dy = jax.vmap(lambda *t: plg.fused_newton_solve(
+                *t, interpret=True))(M2, J2, b2, c2)
+            ref2 = np.linalg.solve(A2, np.asarray(b2)[..., None])[..., 0]
+            np.testing.assert_allclose(np.asarray(dy), ref2, atol=3e-6)
+        plg._make_fused_solve.cache_clear()
+
+    def test_jvp_rule(self):
+        # d(dy)/db through the registered custom rule vs finite differences
+        from kinetica_tpu.ops import pallas_linalg as plg
+        J, c, b, A = self._mk(n=5, B=1)
+        M = jnp.asarray(np.linalg.inv(A), jnp.float32)
+
+        # route the primal through interpret mode so no TPU is needed;
+        # jax.jvp hits the REGISTERED custom rule (the in-kernel
+        # while_loop is not jvp-able, so a fallthrough would raise)
+        def fn(bb):
+            return plg.fused_newton_solve(M[0], J[0], bb, c[0],
+                                          interpret=True)
+
+        db = jnp.asarray(np.random.default_rng(0).standard_normal(5))
+        dy, ddy = jax.jvp(fn, (b[0],), (db,))
+        ref = np.linalg.solve(A[0], np.asarray(db))
+        np.testing.assert_allclose(np.asarray(ddy), ref, atol=1e-5)
+
+    def test_newton_solve_dispatch(self):
+        # method="inv_fused" through linalg.newton_solve (CPU interpret)
+        J, c, b, A = self._mk(n=8, B=1)
+        f = newton_factor(J[0], c[0], method="lu")
+        finv = f._replace(lu=jnp.asarray(np.linalg.inv(A[0]), jnp.float32),
+                          piv=jnp.zeros((8,), jnp.int32))
+        dy = newton_solve(finv, b[0], method="inv_fused")
+        ref = np.linalg.solve(A[0], np.asarray(b[0]))
+        np.testing.assert_allclose(np.asarray(dy), ref, atol=3e-6)
+
+
+def test_bdf_linsolve_inv_fused_end_to_end():
+    """bdf_solve driven entirely through the fused Newton-solve kernel
+    (interpret mode on CPU) reproduces the analytic decay solution."""
+    Adec = jnp.asarray([[-1.0, 0.2, 0.0], [0.3, -2.0, 0.1],
+                        [0.0, 0.5, -0.5]])
+    rhs = lambda t, y, a: Adec @ y
+    jac = lambda t, y, a: Adec
+    saveat = jnp.array([0.5, 1.0])
+    import scipy.linalg
+    ref = scipy.linalg.expm(np.asarray(Adec)) @ np.ones(3)
+    res = bdf.bdf_solve(rhs, jac, jnp.ones(3), 0.0, 1.0, saveat,
+                        rtol=1e-9, atol=1e-11, linsolve="inv_fused",
+                        args=0.0)
+    assert int(res.status) == bdf.DONE
+    np.testing.assert_allclose(np.asarray(res.ys[-1]), ref, rtol=1e-7)

@@ -316,6 +316,34 @@ def test_jac_dtype_validation():
         ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0}, jac_dtype="f16")
 
 
+def test_linsolve_params_validation():
+    with pytest.raises(ValueError, match="linsolve"):
+        ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0}, linsolve="qr")
+    with pytest.raises(ValueError, match="lu_drift_tol"):
+        ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0},
+                            lu_drift_tol=1.5)
+
+
+def test_linsolve_param_reaches_solver():
+    """pars.linsolve="inv_fused" routes the production solve through the
+    fused Pallas Newton-solve kernel (interpret mode on CPU) and matches
+    the default path."""
+    sd, rd, calc = pyrolysis_network()
+    conditions = ConditionSet({"T": 1100.0})
+    common = dict(tspan=(0.0, 1.0), u0={"C": 1.0}, solve_chunks=True,
+                  solve_chunkstep=0.5, low_k_cutoff="none")
+    res_def = solve_network(
+        StaticODESolve(ODESimulationParams(**common), conditions, calc),
+        sd, rd, copy_network=True)
+    res_fus = solve_network(
+        StaticODESolve(ODESimulationParams(linsolve="inv_fused", **common),
+                       conditions, calc), sd, rd, copy_network=True)
+    assert res_def.sol.success and res_fus.sol.success
+    np.testing.assert_allclose(np.asarray(res_fus.sol.u),
+                               np.asarray(res_def.sol.u),
+                               rtol=1e-6, atol=1e-9)
+
+
 class TestJacSparseParams:
     """pars.jac / pars.sparse have defined behaviour (params.jl:55-110)."""
 
