@@ -22,7 +22,9 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("KINETICA_BENCH_BATCH", "64"))
-N_CARBONS = int(os.environ.get("KINETICA_BENCH_NC", "16"))
+# default = the BASELINE north-star scale (~10^3 reactions: nc=24 ->
+# 1095 rxns / 73 species); nc=16 (603 rxns) remains selectable via env
+N_CARBONS = int(os.environ.get("KINETICA_BENCH_NC", "24"))
 RTOL, ATOL = 1e-8, 1e-10
 
 

@@ -305,12 +305,24 @@ def _make_fused_solve(n: int, n_pad: int, n_sweeps: int, interpret: bool):
         B=64/ns=73). Only the small rhs vectors are padded here."""
         from . import dd
         B = b.shape[0]
+        # Mosaic rejects sub-sublane batches (a (1, n) operand hits an
+        # "invalid relayout" on replicated dims) — pad tiny batches up
+        # to one sublane tile (identity rows; outputs sliced back)
+        B_pad = max(B, SUBLANE)
+        if B_pad != B:
+            M = jnp.concatenate(
+                [M, jnp.broadcast_to(jnp.eye(n_pad, dtype=M.dtype),
+                                     (B_pad - B, n_pad, n_pad))])
+            J = jnp.concatenate(
+                [J, jnp.zeros((B_pad - B, n_pad, n_pad), J.dtype)])
+            b = jnp.concatenate([b, jnp.zeros((B_pad - B, n), b.dtype)])
+            c = jnp.concatenate([c, jnp.zeros((B_pad - B,), c.dtype)])
         bh, bl = dd.pair_from_f64(b)
         if n_pad != n:
-            bh = jnp.zeros((B, n_pad), jnp.float32).at[:, :n].set(bh)
-            bl = jnp.zeros((B, n_pad), jnp.float32).at[:, :n].set(bl)
+            bh = jnp.zeros((B_pad, n_pad), jnp.float32).at[:, :n].set(bh)
+            bl = jnp.zeros((B_pad, n_pad), jnp.float32).at[:, :n].set(bl)
         ch, cl = dd.pair_from_f64(c)
-        out = jax.ShapeDtypeStruct((B, n_pad), jnp.float32)
+        out = jax.ShapeDtypeStruct((B_pad, n_pad), jnp.float32)
         # raise the scoped-VMEM ceiling: M + J + the sweep loop's two
         # (B, n, n) broadcast temporaries exceed the 16M default at
         # B=64/n=80 (the in-kernel while_loop blocks XLA's cross-phase
@@ -324,11 +336,11 @@ def _make_fused_solve(n: int, n_pad: int, n_sweeps: int, interpret: bool):
             out_shape=(out, out),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
-            scratch_shapes=[pltpu.VMEM((B, 1), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((B_pad, 1), jnp.float32)],
             interpret=interpret,
             **kwargs,
         )(M, J.astype(jnp.float32), bh, bl, ch[:, None], cl[:, None])
-        return (dyh[:, :n].astype(b.dtype) + dyl[:, :n].astype(b.dtype))
+        return (dyh[:B, :n].astype(b.dtype) + dyl[:B, :n].astype(b.dtype))
 
     @jax.custom_batching.custom_vmap
     def solve_one(M, J, b, c):

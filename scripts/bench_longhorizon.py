@@ -1,0 +1,61 @@
+"""BASELINE config 3: 1e5 s long-timescale variable-T sweep on one chip.
+
+64 slow linear ramps (500 K + r*t, r in [4e-3, 6e-3] K/s over 1e5 s) of
+the 603-reaction synthetic pyrolysis CRN, solved chunkwise in continuous
+rate mode at the production tolerances. Reports per-profile wall-clock
+(the corresponding r1 figure was ~0.92 s/profile) and element-
+conservation drift. Run on TPU: python scripts/bench_longhorizon.py
+"""
+import sys
+import time
+
+import numpy as np
+
+import kinetica_tpu  # noqa: F401  (enables x64)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+from kinetica_tpu.conditions.condition_set import ConditionSet
+from kinetica_tpu.conditions.profiles import LinearGradientProfile
+from kinetica_tpu.parallel.batching import EnsembleProblem
+from kinetica_tpu.solving.methods import VariableODESolve
+from kinetica_tpu.solving.params import ODESimulationParams
+from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+NC, B, TF = 16, 64, 1e5
+
+sd, rd, Ea, A = synthetic_pyrolysis_network(NC)
+calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+rates = np.linspace(4e-3, 6e-3, B)
+conditions_list = [
+    ConditionSet({"T": LinearGradientProfile(
+        rate=float(r), X_start=500.0, X_end=500.0 + float(r) * TF)})
+    for r in rates]
+pars = ODESimulationParams(tspan=(0.0, TF), u0={f"C{NC}": 1.0},
+                           solve_chunks=True, solve_chunkstep=TF / 40,
+                           save_interval=TF / 40, low_k_cutoff="none")
+method = VariableODESolve(pars, conditions_list[0], calc)
+problem = EnsembleProblem(method, sd, rd, rate_mode="continuous")
+t0 = time.perf_counter()
+ens = problem.solve(conditions_list=conditions_list)
+warm = time.perf_counter() - t0
+t0 = time.perf_counter()
+ens = problem.solve(conditions_list=conditions_list)
+dt = time.perf_counter() - t0
+assert ens.success, ens.retcodes[:5]
+
+
+def carbons(s):
+    return 0 if s in ("Hr", "H2") else int(s[1:].rstrip("re"))
+
+
+cvec = np.array([carbons(sd.toStr[i]) for i in range(sd.n)])
+drift = np.abs(np.asarray(ens.u[:, -1]) @ cvec - NC).max() / NC
+steps = np.asarray(ens.stats.get("n_steps", [0]))
+print(f"1e5s sweep: {dt/B*1e3:.1f} ms/profile (warm incl compile "
+      f"{warm:.0f}s); steps max={int(steps.max())} med="
+      f"{int(np.median(steps))}; carbon drift {drift:.2e}")
+sys.stdout.flush()

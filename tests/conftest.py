@@ -16,7 +16,11 @@ os.environ["PYTHONPATH"] = _repo_root + os.pathsep + os.environ.get("PYTHONPATH"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Escape hatch for running the device-marked kernel tests on real
+# hardware: KINETICA_TEST_PLATFORM=tpu (or axon) skips the CPU forcing.
+_plat = os.environ.get("KINETICA_TEST_PLATFORM", "cpu")
+if _plat in ("", "cpu"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 try:
     jax.config.update("jax_compilation_cache_dir",

@@ -155,3 +155,22 @@ class TestBDFOptions:
         res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1e6,
                         jnp.array([1e6]), rtol=1e-12, atol=1e-14, max_steps=3)
         assert int(res.status) != DONE
+
+
+def test_lu_drift_tol_reduces_refactors():
+    """Wider c-drift tolerance must cut LU refactor counts (the factor
+    path is gated on it) without changing the solution beyond noise."""
+    A = jnp.asarray([[-1.0, 0.3, 0.0], [0.2, -5.0, 0.1], [0.0, 0.4, -0.2]])
+    rhs = lambda t, y, a: A @ y
+    jac = lambda t, y, a: A
+    saveat = jnp.linspace(0.2, 4.0, 12)
+    res = {}
+    for tol in (0.0, 0.25):
+        res[tol] = bdf_solve(rhs, jac, jnp.ones(3), 0.0, 4.0, saveat,
+                                 rtol=1e-9, atol=1e-12, lu_drift_tol=tol,
+                                 args=0.0)
+        assert int(res[tol].status) == DONE
+    assert int(res[0.25].n_lu) < int(res[0.0].n_lu)
+    np.testing.assert_allclose(np.asarray(res[0.25].ys),
+                               np.asarray(res[0.0].ys),
+                               rtol=1e-7, atol=1e-11)
