@@ -36,7 +36,7 @@ conditions_list = [
     for r in rates]
 pars = ODESimulationParams(tspan=(0.0, TF), u0={f"C{NC}": 1.0},
                            solve_chunks=True, solve_chunkstep=TF / 40,
-                           save_interval=TF / 40, low_k_cutoff="none")
+                           save_interval=TF / 40, low_k_cutoff="auto")
 method = VariableODESolve(pars, conditions_list[0], calc)
 problem = EnsembleProblem(method, sd, rd, rate_mode="continuous")
 t0 = time.perf_counter()
