@@ -147,3 +147,30 @@ def sensitivityplot(sens, sd, species: str, top_n: int = 8, ax=None,
     ax.axhline(0.0, color="k", lw=0.5)
     ax.legend(fontsize=7)
     return ax
+
+
+def fluxplot(out, flux=None, top_n: int = 8, ax=None, t_unit: str = "s",
+             calc=None):
+    """Plot the ``top_n`` largest-extent reactions' flux traces r_j(t).
+
+    ``flux`` is a :class:`kinetica_tpu.analysis.flux.FluxResult`
+    (computed from ``out`` via :func:`reaction_fluxes` if omitted —
+    pass ``calc`` for continuous/static solves). No reference
+    equivalent (the reference plots concentrations/conditions only).
+    """
+    plt = _require_mpl()
+    from ..core.network import format_rxn
+    from .flux import reaction_fluxes
+
+    if flux is None:
+        flux = reaction_fluxes(out, calc=calc)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 5))
+    for rid, _extent in flux.top(top_n):
+        label = format_rxn(out.sd, out.rd, rid)
+        ax.plot(flux.t, flux.rates[:, rid], label=label[:48])
+    ax.set_xlabel(f"Time / {t_unit}")
+    ax.set_ylabel("Reaction flux / mol dm$^{-3}$ s$^{-1}$")
+    ax.set_yscale("symlog", linthresh=1e-12)
+    ax.legend(fontsize=7)
+    return ax
