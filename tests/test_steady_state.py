@@ -1,0 +1,68 @@
+"""Pseudo-transient steady-state finder (solving/steady_state.py)."""
+import numpy as np
+import pytest
+
+from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+from kinetica_tpu.conditions.condition_set import ConditionSet
+from kinetica_tpu.core.network import RxData, SpeciesData
+from kinetica_tpu.solving.methods import StaticODESolve, VariableODESolve
+from kinetica_tpu.solving.params import ODESimulationParams
+from kinetica_tpu.solving.steady_state import find_steady_state
+from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+
+def test_reversible_isomerisation_equilibrium():
+    """A <=> B (both C4H6 isomers): u*_B / u*_A = k_f / k_r exactly."""
+    sd = SpeciesData(["C=CC=C", "C#CCC"])
+    rd = RxData.from_reactions(sd, [["C=CC=C"], ["C#CCC"]],
+                               [["C#CCC"], ["C=CC=C"]])
+    # temperature-independent rates: Ea = 0, k = A * N_A
+    from kinetica_tpu import constants
+    A = np.array([3.0, 1.0]) / constants.N_A
+    calc = PrecalculatedArrheniusCalculator(np.zeros(2), A)
+    pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C=CC=C": 1.0},
+                               low_k_cutoff="none")
+    method = StaticODESolve(pars, ConditionSet({"T": 500.0}), calc)
+    res = find_steady_state(method, sd, rd, t_first=0.01)
+    assert res.converged
+    K = 3.0
+    uA, uB = res.u[sd.toInt["C=CC=C"]], res.u[sd.toInt["C#CCC"]]
+    np.testing.assert_allclose(uB / uA, K, rtol=1e-6)
+    np.testing.assert_allclose(uA + uB, 1.0, rtol=1e-8)
+    assert res.residual < 1.0       # weighted du/dt at u*
+
+
+def test_pyrolysis_network_stationary():
+    """The synthetic CRN reaches a genuinely stationary composition."""
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e6)
+    pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C6": 1.0},
+                               low_k_cutoff="none")
+    method = StaticODESolve(pars, ConditionSet({"T": 800.0}), calc)
+    res = find_steady_state(method, sd, rd, t_first=0.1, max_epochs=16)
+    assert res.converged
+    # carbon conservation at the fixed point
+    def carbons(s):
+        return 0 if s in ("Hr", "H2") else int(s[1:].rstrip("re"))
+    cvec = np.array([carbons(sd.toStr[i]) for i in range(sd.n)])
+    np.testing.assert_allclose(res.u @ cvec, 6.0, rtol=1e-5)
+    # re-continuing from u* moves nothing: it is a fixed point
+    pars2 = ODESimulationParams(tspan=(0.0, 1.0),
+                                u0={sd.toStr[i]: float(res.u[i])
+                                    for i in range(sd.n) if res.u[i] > 0},
+                                allow_short_u0=True, low_k_cutoff="none")
+    method2 = StaticODESolve(pars2, ConditionSet({"T": 800.0}), calc)
+    res2 = find_steady_state(method2, sd, rd, t_first=res.t_total / 10)
+    np.testing.assert_allclose(res2.u, res.u, rtol=1e-4, atol=1e-12)
+
+
+def test_rejects_variable_conditions():
+    sd, rd, Ea, A = synthetic_pyrolysis_network(4)
+    calc = PrecalculatedArrheniusCalculator(Ea, A)
+    from kinetica_tpu.conditions.profiles import LinearGradientProfile
+    cs = ConditionSet({"T": LinearGradientProfile(rate=10.0, X_start=500.0,
+                                                  X_end=600.0)})
+    pars = ODESimulationParams(tspan=(0.0, 10.0), u0={"C4": 1.0},
+                               low_k_cutoff="none")
+    with pytest.raises(TypeError, match="StaticODESolve"):
+        find_steady_state(VariableODESolve(pars, cs, calc), sd, rd)
