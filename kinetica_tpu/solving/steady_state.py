@@ -100,3 +100,118 @@ def find_steady_state(method, sd, rd, t_first: float = 1.0,
     return SteadyStateResult(u=np.asarray(u), residual=wrms(f, u),
                              t_total=t_total, converged=converged,
                              epochs=epoch)
+
+
+@dataclass
+class SteadyStateEnsemble:
+    u: np.ndarray              # (B, ns) per-member steady states
+    residual: np.ndarray       # (B,) weighted RMS of du/dt
+    t_total: float
+    converged: np.ndarray      # (B,) bool
+    epochs: int
+
+    @property
+    def success(self) -> bool:
+        return bool(np.all(self.converged))
+
+
+def find_steady_state_ensemble(method, sd, rd, conditions_list,
+                               t_first: float = 1.0, growth: float = 10.0,
+                               max_epochs: int = 14, move_tol: float = 0.05,
+                               copy_network: bool = True):
+    """Batched steady states over a sweep of static conditions.
+
+    One vmapped device program computes the fixed points of the SAME
+    CRN under every member's (static) conditions simultaneously — an
+    equilibrium map over a parameter sweep in one pseudo-transient
+    continuation. Epoch scheduling is batch-synchronous: all lanes
+    integrate every horizon (a lane already at its fixed point moves
+    nothing and steps trivially), and the loop stops when every lane's
+    last growth-factor extension moved less than ``move_tol`` weighted
+    RMS. Per-lane convergence/residual is reported.
+    """
+    import jax
+
+    from .methods import StaticODESolve, solve_network
+    from .solve_utils import get_initial_rates
+
+    if not isinstance(method, StaticODESolve):
+        raise TypeError(
+            "find_steady_state_ensemble requires a StaticODESolve")
+    for cs in conditions_list:
+        if any(not cs.get_profile(s).is_static for s in cs.symbols):
+            raise TypeError("all ensemble members must have static "
+                            "conditions (steady states are defined under "
+                            "time-invariant conditions)")
+
+    integ = solve_network(method, sd, rd, copy_network=copy_network,
+                          return_integrator=True)
+    pars = method.pars
+    dtype = integ.u0.dtype
+    # the calculator was setup_network'd on the (possibly spliced) active
+    # network inside solve_network, so its k vectors align with integ.net
+    k_b = jnp.asarray(np.stack([
+        get_initial_rates(cs, method.calculator)
+        for cs in conditions_list]), dtype=dtype)
+    if k_b.shape[1] != integ.net.nr:
+        raise RuntimeError("calculator rate-vector length does not match "
+                           "the active network")
+    B = k_b.shape[0]
+    rtol = jnp.asarray(pars.reltol, dtype)
+    atol = jnp.asarray(pars.abstol, dtype)
+
+    from ..ops import bdf
+
+    def solve_one(u0, k, T):
+        return bdf.bdf_solve(
+            integ.rhs, integ.jac, u0, 0.0, T, jnp.asarray([1.0]) * T,
+            rtol=pars.reltol, atol=pars.abstol,
+            max_steps=int(pars.maxiters),
+            nonnegative=pars.ban_negatives,
+            nonnegative_project=pars.project_negatives,
+            lu_precision=pars.lu_precision,
+            linsolve=getattr(pars, "linsolve", "auto"),
+            lu_drift_tol=getattr(pars, "lu_drift_tol", 0.1),
+            prepare=integ.prepare,
+            args=(jnp.asarray(0.0, dtype), k))
+
+    solve_b = jax.jit(jax.vmap(solve_one, in_axes=(0, 0, None)))
+
+    u = jnp.broadcast_to(integ.u0, (B,) + integ.u0.shape)
+    t_total = 0.0
+    T = float(t_first)
+    conv = np.zeros(B, dtype=bool)
+    epoch = 0
+    for epoch in range(1, max_epochs + 1):
+        res = solve_b(u, k_b, T)
+        status = np.asarray(res.status)
+        if (status != 1).any():
+            logger.info(" - steady-state ensemble epoch %d: %d lanes "
+                        "failed (status min %d); stopping", epoch,
+                        int((status != 1).sum()), int(status.min()))
+            break
+        u_new = res.y_final
+        t_total += T
+        w = 1.0 / (atol + rtol * jnp.abs(u_new))
+        move = np.asarray(jnp.sqrt(jnp.mean(((u_new - u) * w) ** 2, axis=1)))
+        u = u_new
+        conv = (move < move_tol) & (epoch > 1)
+        logger.info(" - steady-state ensemble epoch %d: T=%.3g "
+                    "max move=%.3e (%d/%d lanes converged)", epoch, T,
+                    float(move.max()), int(conv.sum()), B)
+        if conv.all():
+            break
+        T *= growth
+
+    def resid_one(uu, k):
+        pre = (integ.prepare(jnp.asarray(0.0), jnp.asarray(0.0),
+                             (jnp.asarray(0.0, dtype), k))
+               if integ.prepare is not None else (jnp.asarray(0.0, dtype), k))
+        f = integ.rhs(jnp.asarray(0.0), uu, pre)
+        w = 1.0 / (atol + rtol * jnp.abs(uu))
+        return jnp.sqrt(jnp.mean((f * w) ** 2))
+
+    residual = np.asarray(jax.jit(jax.vmap(resid_one))(u, k_b))
+    return SteadyStateEnsemble(u=np.asarray(u), residual=residual,
+                               t_total=t_total, converged=conv,
+                               epochs=epoch)

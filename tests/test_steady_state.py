@@ -66,3 +66,46 @@ def test_rejects_variable_conditions():
                                low_k_cutoff="none")
     with pytest.raises(TypeError, match="StaticODESolve"):
         find_steady_state(VariableODESolve(pars, cs, calc), sd, rd)
+
+
+def test_ensemble_equilibrium_map():
+    """Batched fixed points over a temperature sweep match per-member
+    single solves, and the equilibrium shifts monotonically with T."""
+    from kinetica_tpu.solving.steady_state import find_steady_state_ensemble
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e6)
+    pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C6": 1.0},
+                               low_k_cutoff="none")
+    Ts = [700.0, 800.0, 900.0, 1000.0]
+    conds = [ConditionSet({"T": T}) for T in Ts]
+    method = StaticODESolve(pars, conds[0], calc)
+    ens = find_steady_state_ensemble(method, sd, rd, conds, t_first=0.1,
+                                     max_epochs=16)
+    assert ens.success
+    assert ens.u.shape == (4, sd.n)
+    # member 2 equals a single-solve fixed point
+    single = find_steady_state(StaticODESolve(pars, conds[2], calc), sd, rd,
+                               t_first=0.1, max_epochs=16)
+    assert single.converged
+    np.testing.assert_allclose(ens.u[2], single.u, rtol=1e-6, atol=1e-30)
+    # the equilibrium genuinely shifts with temperature
+    diffs = np.abs(np.diff(ens.u, axis=0)).max(axis=1)
+    assert np.all(diffs > 1e-6)
+    # per-lane residuals are small at the fixed points
+    assert np.all(ens.residual < 1.0)
+
+
+def test_ensemble_rejects_variable_members():
+    from kinetica_tpu.conditions.profiles import LinearGradientProfile
+    from kinetica_tpu.solving.steady_state import find_steady_state_ensemble
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(4)
+    calc = PrecalculatedArrheniusCalculator(Ea, A)
+    pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C4": 1.0},
+                               low_k_cutoff="none")
+    method = StaticODESolve(pars, ConditionSet({"T": 700.0}), calc)
+    bad = [ConditionSet({"T": LinearGradientProfile(rate=10.0, X_start=500.0,
+                                                    X_end=600.0)})]
+    with pytest.raises(TypeError, match="static"):
+        find_steady_state_ensemble(method, sd, rd, bad)
