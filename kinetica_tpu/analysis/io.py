@@ -52,9 +52,12 @@ class ODESolveOutput:
 
 _PARS_FIELDS = ["tspan", "u0", "solver", "jac", "sparse", "abstol", "reltol",
                 "adaptive_tols", "update_tols", "solve_chunks",
-                "solve_chunkstep", "maxiters", "ban_negatives", "progress",
+                "solve_chunkstep", "maxiters", "ban_negatives",
+                "project_negatives", "progress",
                 "save_interval", "low_k_cutoff", "low_k_maxconc",
-                "allow_short_u0", "dtype", "lu_precision"]
+                "allow_short_u0", "dtype", "lu_precision", "jac_dtype",
+                "chunks_per_dispatch", "rhs_contraction", "linsolve",
+                "lu_drift_tol"]
 
 # Profile parameter fields needed to reconstruct each type (constructor args).
 _PROFILE_CTOR_FIELDS = {

@@ -202,11 +202,17 @@ class TestSaveLoad:
             ts_update=0.5)
         tf = conditions.get_t_final()
         pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
-                                   solve_chunks=True, solve_chunkstep=tf / 14)
+                                   solve_chunks=True, solve_chunkstep=tf / 14,
+                                   linsolve="inv", lu_drift_tol=0.2,
+                                   jac_dtype="float64")
         res = solve_network(VariableODESolve(pars, conditions, calc), sd, rd)
         path = str(tmp_path / "out.npz")
         save_output(res, path)
         back = load_output(path)
+        # every solver knob round-trips (TPU extensions included)
+        assert back.pars.linsolve == "inv"
+        assert back.pars.lu_drift_tol == 0.2
+        assert back.pars.jac_dtype == "float64"
         assert back.rd.nr == res.rd.nr
         assert back.sd.toInt == res.sd.toInt
         np.testing.assert_allclose(back.sol.t, res.sol.t)
