@@ -291,6 +291,37 @@ class EnsembleProblem:
                               None if stops_axes is None else 0,
                               None, 0, 0)))
 
+    def _gather_lanes(self, u0s_j, payload, stops_rows, idx):
+        """Compact selected ensemble lanes into a small retry batch.
+
+        ``idx`` is a padded numpy index vector (failed lanes, then repeats
+        of the first failed lane up to the retry batch size — repeated
+        results are discarded on merge). Shared (non-batched) inputs pass
+        through untouched.
+        """
+        take = jnp.asarray(idx)
+        u0_r = u0s_j[take]
+        if self.rate_mode == "discrete":
+            payload_r = (payload[0], payload[1][take])
+            stops_r = stops_rows        # shared stop grid
+        else:
+            payload_r = jax.tree_util.tree_map(lambda x: x[take], payload)
+            stops_r = stops_rows[take]
+        return u0_r, payload_r, stops_r
+
+    @staticmethod
+    def _retry_batch_size(n_failed, B):
+        """Next power-of-two >= n_failed, capped at the full batch.
+
+        Power-of-two padding bounds the number of distinct compiled retry
+        programs at log2(B); the Pallas kernels self-pad sub-sublane
+        batches so any size executes.
+        """
+        Br = 1
+        while Br < n_failed:
+            Br *= 2
+        return min(Br, B)
+
     def _run_batch(self, B, u0s_j, payload, stops_rows, abstol_j, reltol_j):
         """One batched run at per-member tolerances -> (statuses, ys,
         steps).
@@ -427,29 +458,42 @@ class EnsembleProblem:
         # The batched mirror of the reference's adaptive_solve!
         # (solve_utils.jl:376-424): after a batch run, lanes that failed
         # are re-solved with x10-tightened tolerances, at most 5 attempts.
-        # Tolerances are per-lane vectors into the SAME compiled program
-        # (no recompilation); each retry re-runs the full batch — wasteful
-        # only in the rare failure case — and results merge lane-wise so
-        # successful lanes keep their first (requested-tolerance) answer.
+        # Retries are COMPACTED (VERDICT r2 #6): failed lanes are gathered
+        # into a minimal power-of-two padded batch, so one sick lane in a
+        # B=256 sweep re-dispatches ~1 lane of device time, not 256.
+        # Results merge lane-wise; successful lanes keep their first
+        # (requested-tolerance) answer. Compacted shapes retrace the jitted
+        # program once per power-of-two size (persistent-cache friendly).
         abstol_v = np.full(B, float(pars.abstol))
         reltol_v = np.full(B, float(pars.reltol))
         mintol = np.finfo(np.float64).eps
         attempts = 0
         statuses = ys = None
+        self.last_retry_batch = None  # telemetry: lanes dispatched on retry
         while True:
             attempts += 1
-            new_statuses, new_ys, new_steps = self._run_batch(
-                B, u0s_j, payload, stops_rows,
-                jnp.asarray(abstol_v), jnp.asarray(reltol_v))
             if statuses is None:
-                statuses, ys = new_statuses, np.asarray(new_ys)
-                steps_v = new_steps
+                new_statuses, new_ys, new_steps = self._run_batch(
+                    B, u0s_j, payload, stops_rows,
+                    jnp.asarray(abstol_v), jnp.asarray(reltol_v))
+                # writable copies: retry merges scatter into these in place
+                statuses = np.array(new_statuses)
+                ys = np.array(new_ys)
+                steps_v = np.array(new_steps)
             else:
-                redo = statuses != bdf.DONE
-                statuses = np.where(redo, new_statuses, statuses)
-                steps_v = np.where(redo, new_steps, steps_v)
-                ys = np.where(redo[:, None, None, None],
-                              np.asarray(new_ys), ys)
+                lanes = np.flatnonzero(statuses != bdf.DONE)
+                Br = self._retry_batch_size(lanes.size, B)
+                idx = np.concatenate(
+                    [lanes, np.full(Br - lanes.size, lanes[0], lanes.dtype)])
+                u0_r, payload_r, stops_r = self._gather_lanes(
+                    u0s_j, payload, stops_rows, idx)
+                self.last_retry_batch = int(Br)
+                new_statuses, new_ys, new_steps = self._run_batch(
+                    Br, u0_r, payload_r, stops_r,
+                    jnp.asarray(abstol_v[idx]), jnp.asarray(reltol_v[idx]))
+                statuses[lanes] = new_statuses[:lanes.size]
+                steps_v[lanes] = new_steps[:lanes.size]
+                ys[lanes] = np.asarray(new_ys)[:lanes.size]
             failed = statuses != bdf.DONE
             if not failed.any() or not pars.adaptive_tols:
                 break
@@ -465,10 +509,12 @@ class EnsembleProblem:
                 break
             abstol_v[failed] /= 10
             reltol_v[failed] /= 10
-            logger.warning("   - %d ensemble member(s) failed; retrying with "
-                           "tolerances tightened to abstol = %g reltol = %g",
-                           int(failed.sum()), abstol_v[failed].min(),
-                           reltol_v[failed].min())
+            logger.warning("   - %d ensemble member(s) failed; retrying "
+                           "%d compacted lane(s) with tolerances tightened "
+                           "to abstol = %g reltol = %g",
+                           int(failed.sum()),
+                           self._retry_batch_size(int(failed.sum()), B),
+                           abstol_v[failed].min(), reltol_v[failed].min())
         m = len(self.saveat_local)
         ys = np.asarray(ys).reshape(B, self.n_chunks * m, -1)
         ys = np.concatenate([np.asarray(u0s)[:, None, :], ys], axis=1)
@@ -490,6 +536,7 @@ class EnsembleProblem:
             retcodes=[retcode_from_status(s) for s in statuses],
             vcs=vcs, stats={"n_chunks": self.n_chunks, "batch": B,
                             "attempts": attempts,
+                            "retry_batch": self.last_retry_batch,
                             "abstol": abstol_v, "reltol": reltol_v,
                             "n_steps": steps_v})
 

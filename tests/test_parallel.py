@@ -261,15 +261,17 @@ class TestEnsembleAdaptiveRetry:
         ens = prob.solve(conditions_list=conditions_list)
         assert ens.success
         assert len(calls) == 2
-        # retry tightened ONLY the failed lane's tolerances
+        # the retry is COMPACTED to just the failed lane, with x10-tightened
+        # tolerances (successful lane 0 is not re-dispatched at all)
         at0, rt0 = calls[0]
         at1, rt1 = calls[1]
-        assert at1[0] == at0[0] and rt1[0] == rt0[0]
-        np.testing.assert_allclose(at1[1], at0[1] / 10)
-        np.testing.assert_allclose(rt1[1], rt0[1] / 10)
+        assert at1.shape == (1,) and rt1.shape == (1,)
+        np.testing.assert_allclose(at1[0], at0[1] / 10)
+        np.testing.assert_allclose(rt1[0], rt0[1] / 10)
         # lane 0 kept its first-attempt answer; lane 1 was replaced (finite)
         assert np.isfinite(ens.u).all()
         assert ens.stats["attempts"] == 2
+        assert ens.stats["retry_batch"] == 1
 
     def test_no_retry_when_adaptive_disabled(self):
         from kinetica_tpu.ops import bdf
@@ -307,6 +309,57 @@ class TestEnsembleAdaptiveRetry:
         ens = prob.solve(conditions_list=conditions_list)
         assert n[0] == 5
         assert not ens.success
+
+    def test_retry_is_compacted(self):
+        """VERDICT r2 #6: a wide sweep with 2 sick lanes must re-dispatch
+        a minimal padded batch (<= 8 lanes), not the whole sweep, and the
+        retried lanes' answers must match a direct solve at the tightened
+        tolerances."""
+        from kinetica_tpu.ops import bdf
+        sd, rd, mkcalc = pyrolysis()
+        tf = 4.0
+        B = 16
+        conditions_list = [ramp_conditions(40.0 + 2.0 * b, tf, 1.0)
+                           for b in range(B)]
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                   solve_chunks=True, solve_chunkstep=1.0,
+                                   low_k_cutoff="none")
+        prob = EnsembleProblem(VariableODESolve(pars, conditions_list[0],
+                                                mkcalc()), sd, rd)
+        real_run = prob._run_batch
+        sizes = []
+        sick = [3, 11]
+
+        def fake_run(Bc, u0s_j, payload, stops_rows, abstol_j, reltol_j):
+            statuses, ys, steps = real_run(Bc, u0s_j, payload, stops_rows,
+                                           abstol_j, reltol_j)
+            sizes.append(Bc)
+            if len(sizes) == 1:
+                statuses = statuses.copy()
+                for lane in sick:
+                    statuses[lane] = bdf.FAIL_MAX_STEPS
+            return statuses, ys, steps
+
+        prob._run_batch = fake_run
+        ens = prob.solve(conditions_list=conditions_list)
+        assert ens.success
+        assert sizes == [B, 2]          # 2 sick lanes -> 2-lane retry
+        assert ens.stats["retry_batch"] == 2
+        # only the sick lanes were tightened
+        expect_at = np.full(B, pars.abstol)
+        expect_at[sick] /= 10
+        np.testing.assert_allclose(ens.stats["abstol"], expect_at)
+        # retried lanes' trajectories match a direct tightened solve
+        prob._run_batch = real_run
+        tight = ODESimulationParams(tspan=(0.0, tf), u0={"C": 1.0},
+                                    solve_chunks=True, solve_chunkstep=1.0,
+                                    low_k_cutoff="none",
+                                    abstol=pars.abstol / 10,
+                                    reltol=pars.reltol / 10)
+        prob2 = EnsembleProblem(VariableODESolve(tight, conditions_list[0],
+                                                 mkcalc()), sd, rd)
+        ens2 = prob2.solve(conditions_list=[conditions_list[i] for i in sick])
+        np.testing.assert_allclose(ens.u[sick], ens2.u, rtol=1e-12, atol=0)
 
 
 def test_nr_padding_model_sharding_matches(monkeypatch):
