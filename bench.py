@@ -287,7 +287,14 @@ def main():
         "vs_baseline": 0.0,
     }
     try:
-        # Phase 0 — backend availability (no JAX touched in this process)
+        # The parent NEVER touches the accelerator: profile evaluation in
+        # the scipy baseline goes through jnp, and an axon-init hang there
+        # would stall the whole bench. Pin this process to CPU up front
+        # (the env var alone is ignored once the axon plugin registers).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+        # Phase 0 — backend availability (probed in a subprocess)
         platform = probe_backend()
         fell_back = platform is None
         if fell_back:

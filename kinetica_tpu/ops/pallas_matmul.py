@@ -596,6 +596,53 @@ def _make_fused_rhs(nr: int, ns: int, arity: int, nr_pad: int,
     return rhs_one
 
 
+def make_local_fused_rhs(fused: "FusedMassActionRHS", n_shards: int):
+    """Shard-local fused-RHS callable for reaction-axis (model) sharding.
+
+    Under a ``("batch", "model")`` mesh the reaction axis of the rate
+    tables — and of the stoichiometry/slot operands ``fused._NT`` /
+    ``fused._E`` — shards over ``model``; each shard runs this local
+    kernel on its reaction block and the caller ``psum``s the partial
+    du over the mesh axis (parallel.batching builds the shard_map).
+
+    Returns ``rhs_local(uh, ul, kh, kl, NT_local, E_local) -> (ns,) f64``
+    where the k pair and the NT/E blocks have the per-shard reaction
+    length ``fused.nr_pad // n_shards`` (must be a DD_CHUNK multiple —
+    EnsembleProblem pads the network accordingly).
+    """
+    if fused.nr_pad % n_shards:
+        raise ValueError(f"nr_pad {fused.nr_pad} not divisible by "
+                         f"{n_shards} model shards")
+    nr_loc = fused.nr_pad // n_shards
+    if nr_loc % DD_CHUNK:
+        raise ValueError(f"per-shard reaction count {nr_loc} is not a "
+                         f"DD_CHUNK ({DD_CHUNK}) multiple; pad the network "
+                         f"with nr_multiple={DD_CHUNK * n_shards}")
+    return _make_fused_rhs(nr_loc, fused.ns, fused.arity, nr_loc,
+                           fused.ns_aug_pad, fused.max_batch, fused.mode,
+                           fused.interpret)
+
+
+def make_local_dd_pair(dd: "DDContraction", n_shards: int):
+    """Shard-local pair-contraction callable for reaction-axis sharding.
+
+    Returns ``contract_local(rh, rl, NT_local) -> (ns,) f64`` over the
+    per-shard reaction block (same psum contract as
+    :func:`make_local_fused_rhs`).
+    """
+    if dd.nr_pad % n_shards:
+        raise ValueError(f"nr_pad {dd.nr_pad} not divisible by "
+                         f"{n_shards} model shards")
+    nr_loc = dd.nr_pad // n_shards
+    if nr_loc % DD_CHUNK:
+        raise ValueError(f"per-shard reaction count {nr_loc} is not a "
+                         f"DD_CHUNK ({DD_CHUNK}) multiple; pad the network "
+                         f"with nr_multiple={DD_CHUNK * n_shards}")
+    _, matmul_pair = _make_dd_matmul(nr_loc, dd.ns, nr_loc, dd.max_batch,
+                                     dd.interpret)
+    return matmul_pair
+
+
 _FUSED_GRID_OK: bool | None = None
 
 
