@@ -15,7 +15,7 @@ and strings in an embedded JSON document (replaces the reference's BSON).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, fields as dataclass_fields
 
 import numpy as np
 
@@ -50,14 +50,10 @@ class ODESolveOutput:
         self.conditions = solvemethod.conditions
 
 
-_PARS_FIELDS = ["tspan", "u0", "solver", "jac", "sparse", "abstol", "reltol",
-                "adaptive_tols", "update_tols", "solve_chunks",
-                "solve_chunkstep", "maxiters", "ban_negatives",
-                "project_negatives", "progress",
-                "save_interval", "low_k_cutoff", "low_k_maxconc",
-                "allow_short_u0", "dtype", "lu_precision", "jac_dtype",
-                "chunks_per_dispatch", "rhs_contraction", "linsolve",
-                "lu_drift_tol"]
+# every solver knob round-trips: derived from the dataclass so new fields
+# persist automatically (load tolerates files written before a field
+# existed — missing keys fall back to the constructor default)
+_PARS_FIELDS = [f.name for f in dataclass_fields(ODESimulationParams)]
 
 # Profile parameter fields needed to reconstruct each type (constructor args).
 _PROFILE_CTOR_FIELDS = {

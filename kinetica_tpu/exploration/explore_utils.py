@@ -193,10 +193,16 @@ def identify_next_seeds(sol, sd: SpeciesData, seed_conc: float | None = None,
                         saveto: str | None = None) -> list[str]:
     """Species whose max concentration reaches ``seed_conc`` become next
     seeds (explore_utils.jl:338-410); on device this is one max-reduce over
-    the solution tensor."""
+    the solution tensor.
+
+    ``sol`` may be a single :class:`ODESolution` (u: (T, ns)) or an
+    :class:`EnsembleSolution` (u: (B, T, ns)) — for a batched condition
+    sweep the gate takes the max concentration over members AND time, so
+    a species that matters under ANY swept condition seeds the next
+    level."""
     ignore = set(ignore or [])
     umat = np.asarray(sol.u)
-    max_concs = umat.max(axis=0)
+    max_concs = umat.reshape(-1, umat.shape[-1]).max(axis=0)
     next_seeds, next_concs = [], []
     for sid in range(sd.n):
         smi = sd.toStr[sid]

@@ -64,6 +64,16 @@ class IterativeExplore(AbstractExploreMethod):
     independent_blacklist: list[str] = field(default_factory=list)
     inert_species: list[str] = field(default_factory=list)
     modify_network_on_solve: bool = True
+    # Batched kinetics-in-the-loop gating (BASELINE config 5; no
+    # reference equivalent — methods.jl gates each level on ONE solve):
+    # when set, every level's kinetic simulation is a vmapped ensemble
+    # sweep over these ConditionSets (one compiled batched program on
+    # the accelerator) and next-level seeds are selected from the max
+    # concentration over members and time, so species that matter under
+    # ANY swept condition are explored. The per-level checkpoint stores
+    # member 0's trajectory. The network is never modified in place on
+    # this path (EnsembleProblem filters on copies).
+    solve_conditions_list: list | None = None
 
 
 def _mark_converged(loc: ExploreLoc) -> None:
@@ -275,31 +285,48 @@ def _explore_iterative(exploremethod: IterativeExplore,
         logger.info("Exploration complete, running kinetic simulation of "
                     "current network.")
         flush_log()
-        res = solve_network(solvemethod, sd, rd,
-                            copy_network=not exploremethod.modify_network_on_solve)
+        conds_list = exploremethod.solve_conditions_list
+        if conds_list:
+            # batched condition-sweep gate (one vmapped device program)
+            from ..analysis.io import ODESolveOutput
+            from ..parallel.batching import EnsembleProblem
+            prob = EnsembleProblem(solvemethod, sd, rd)
+            ens = prob.solve(conditions_list=list(conds_list))
+            if not ens.success:
+                raise RuntimeError(
+                    f"Batched kinetic simulation of level {loc.level} network "
+                    f"failed for {sum(rc != RETCODE_SUCCESS for rc in ens.retcodes)}"
+                    f"/{ens.n_batch} members; refusing to select next-level "
+                    "seeds from a failed sweep.")
+            res = ODESolveOutput(solvemethod, ens[0], prob.sd, prob.rd)
+            gate_sol = ens
+        else:
+            res = solve_network(
+                solvemethod, sd, rd,
+                copy_network=not exploremethod.modify_network_on_solve)
+            gate_sol = res.sol
+            # Refuse to gate the next exploration level on a failed solve:
+            # seeds picked from garbage concentrations silently poison
+            # every subsequent level (solve_network's adaptive retry raises
+            # on unrecoverable failures, but retcodes are re-checked here
+            # so any future non-raising path cannot slip through).
+            if res.sol.retcode != RETCODE_SUCCESS:
+                raise RuntimeError(
+                    f"Kinetic simulation of level {loc.level} network ended "
+                    f"with retcode {res.sol.retcode!r}; refusing to select "
+                    "next-level seeds from a failed solve.")
         _save_checkpoint(res, savedir, f"level_network_1-{loc.level}.npz")
-
-        # Refuse to gate the next exploration level on a failed solve:
-        # seeds picked from garbage concentrations silently poison every
-        # subsequent level (solve_network's adaptive retry raises on
-        # unrecoverable failures, but retcodes are re-checked here so any
-        # future non-raising path cannot slip through).
-        if res.sol.retcode != RETCODE_SUCCESS:
-            raise RuntimeError(
-                f"Kinetic simulation of level {loc.level} network ended with "
-                f"retcode {res.sol.retcode!r}; refusing to select next-level "
-                "seeds from a failed solve.")
 
         explored_seeds += [s for s in current_seeds if s not in explored_seeds]
         seeds_out = (None if savedir is None
                      else os.path.join(savedir, f"seeds_level{loc.level}.out"))
         if loc.level <= exploremethod.n_undirected_levels:
             next_seeds = identify_next_seeds(
-                res.sol, res.sd, ignore=exploremethod.inert_species,
+                gate_sol, res.sd, ignore=exploremethod.inert_species,
                 saveto=seeds_out)
         else:
             next_seeds = identify_next_seeds(
-                res.sol, res.sd, exploremethod.seed_conc,
+                gate_sol, res.sd, exploremethod.seed_conc,
                 ignore=exploremethod.inert_species, saveto=seeds_out)
 
         if set(current_seeds) == set(next_seeds):

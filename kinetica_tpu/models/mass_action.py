@@ -32,11 +32,27 @@ from ..core.network import RxData
 
 
 
-# Smoothing half-width of the clipped-concentration kink (see _clip_pos).
+# Smoothing half-width of the clipped-concentration kink (see _clip_pos):
+# the default and CAP. Networks built through a solve path scale it with
+# the requested accuracy via resolve_clip_delta (ADVICE r2: a fixed
+# absolute width systematically damps species near 1e-12 regardless of
+# the user's tolerances).
 CLIP_DELTA = 1e-12
 
 
-def _clip_pos(u):
+def resolve_clip_delta(pars=None) -> float:
+    """Clip width for one solve: ``pars.clip_delta`` if explicit, else
+    ``min(CLIP_DELTA, 0.01 * abstol)`` — two decades below the requested
+    accuracy, never wider than the historical 1e-12 default."""
+    if pars is None:
+        return CLIP_DELTA
+    choice = getattr(pars, "clip_delta", "auto")
+    if choice == "auto":
+        return min(CLIP_DELTA, 0.01 * float(getattr(pars, "abstol", 1e-10)))
+    return float(choice)
+
+
+def _clip_pos(u, delta=CLIP_DELTA):
     """C^inf positive part: u * sigmoid(u / delta); exactly 0 at u = 0.
 
     Rates are evaluated on the nonnegative part of u (see rates()), but a
@@ -58,12 +74,12 @@ def _clip_pos(u):
     inject O(1) phantom fluxes). For |u| >> delta this is max(u, 0) to
     machine precision.
     """
-    return u * jax.nn.sigmoid(u / CLIP_DELTA)
+    return u * jax.nn.sigmoid(u / delta)
 
 
-def _clip_pos_grad(u):
+def _clip_pos_grad(u, delta=CLIP_DELTA):
     """d(_clip_pos)/du — chain factor for the Jacobian."""
-    x = u / CLIP_DELTA
+    x = u / delta
     s = jax.nn.sigmoid(x)
     return s * (1.0 + x * (1.0 - s))
 
@@ -83,13 +99,15 @@ class MassActionNetwork:
     """
     reac_slots: jnp.ndarray  # (nr, arity) int32 into u_aug (ns == constant-1 slot)
     N: jnp.ndarray           # (nr, ns) net stoichiometry
+    # smooth-clip width (static aux data; see _clip_pos/resolve_clip_delta)
+    delta: float = CLIP_DELTA
 
     def tree_flatten(self):
-        return (self.reac_slots, self.N), None
+        return (self.reac_slots, self.N), self.delta
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, delta=aux)
 
     @property
     def ns(self) -> int:
@@ -117,7 +135,7 @@ class MassActionNetwork:
         u < 0 region purely restoring (production only) without changing
         the dynamics anywhere u >= 0.
         """
-        u_aug = jnp.concatenate([_clip_pos(u),
+        u_aug = jnp.concatenate([_clip_pos(u, self.delta),
                                  jnp.ones((1,), dtype=u.dtype)])
         prods = jnp.prod(u_aug[self.reac_slots], axis=1)
         return k * prods
@@ -145,9 +163,9 @@ class MassActionNetwork:
         # concentrations with the chain factor d(_clip_pos)/du applied to
         # each Jacobian column, so RHS and Jacobian agree through the
         # u ~ 0 crossing (see _clip_pos).
-        u_aug = jnp.concatenate([_clip_pos(u),
+        u_aug = jnp.concatenate([_clip_pos(u, self.delta),
                                  jnp.ones((1,), dtype=u.dtype)])
-        chain = _clip_pos_grad(u)
+        chain = _clip_pos_grad(u, self.delta)
         slot_u = u_aug[self.reac_slots]                      # (nr, arity)
 
         def leave_one_out(slots_u):
@@ -195,7 +213,8 @@ class MassActionNetwork:
 
 
 def build_mass_action(rd: RxData, ns: int, dtype=jnp.float64,
-                      min_arity: int = 2) -> MassActionNetwork:
+                      min_arity: int = 2,
+                      clip_delta: float = CLIP_DELTA) -> MassActionNetwork:
     """Compile an :class:`RxData` into padded dense numeric arrays.
 
     ``ns`` is the species count (``sd.n``). Reactant molecularity beyond 2
@@ -217,6 +236,7 @@ def build_mass_action(rd: RxData, ns: int, dtype=jnp.float64,
     return MassActionNetwork(
         reac_slots=jnp.asarray(reac_slots),
         N=jnp.asarray(N, dtype=dtype),
+        delta=float(clip_delta),
     )
 
 
@@ -239,7 +259,7 @@ def pad_reactions(net: MassActionNetwork, nr_padded: int) -> MassActionNetwork:
         [net.reac_slots,
          jnp.full((pad, net.arity), ns, dtype=net.reac_slots.dtype)])
     N = jnp.concatenate([net.N, jnp.zeros((pad, ns), dtype=net.N.dtype)])
-    return MassActionNetwork(reac_slots=slots, N=N)
+    return MassActionNetwork(reac_slots=slots, N=N, delta=net.delta)
 
 
 @partial(jax.jit, static_argnums=())

@@ -437,20 +437,25 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
                 jnp.zeros_like(y_pred), y_pred, jnp.asarray(0.0, f32))
-        it, converged, _, d, y, dy_last = lax.while_loop(cond, body, init)
-        # Post-hoc noise reclassification: an exit (divergence-flagged or
-        # iteration-capped) whose LAST update was below 0.03 scale-units
-        # left d uncertain by at most 3% of the accuracy target — that is
+        it, converged, diverged, d, y, dy_last = lax.while_loop(
+            cond, body, init)
+        # Post-hoc noise reclassification: an ITERATION-CAPPED exit whose
+        # LAST update was below 0.03 scale-units left d uncertain by at
+        # most ~3% of the accuracy target (non-growing tail) — that is
         # convergence at the arithmetic's noise floor, not failure (the
         # f64 RHS rounding floor c*eps*gross_flux/scale on saturated-rate
         # CRNs sits at ~1e-3..1e-2 scaled, above newton_tol, so strict
         # Newton can never "prove" convergence there and the stepper
         # rejects its way into an ever-smaller-h trap; measured 35k-100k
-        # steps/chunk where scipy takes ~100). Applied ONLY at loop exit:
-        # rescuing would-be failures leaves ordinarily-converging steps
-        # at full strict-test accuracy (an in-loop version measurably
-        # degraded forward-sensitivity/FD agreement to 16%).
-        converged = converged | ((it > 0) & (dy_last < _NOISE_ACCEPT))
+        # steps/chunk where scipy takes ~100). Divergence-flagged exits
+        # (rate >= 1.2, growing updates) are EXCLUDED: their tail bound
+        # does not hold, so they go back to the step-retry path. Applied
+        # ONLY at loop exit: rescuing would-be failures leaves
+        # ordinarily-converging steps at full strict-test accuracy (an
+        # in-loop version measurably degraded forward-sensitivity/FD
+        # agreement to 16%).
+        converged = converged | ((it > 0) & (~diverged)
+                                 & (dy_last < _NOISE_ACCEPT))
         return converged, it, y, d
 
     def fill_saveat(t_new, h, order, D, save_ptr, ys):

@@ -188,8 +188,12 @@ def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int,
 
     @jax.custom_jvp
     def matmul_b(rb, NT):                  # (B, nr) f64 -> (B, ns) f64
-        B = rb.shape[0]
-        rT = jnp.zeros((nr_pad, B), rb.dtype).at[:nr, :].set(rb.T)
+        # zero-pad via lax.pad (NOT .at[:nr].set): a full-slice scatter
+        # creates a (1, 0) index CONSTANT that batched-cond broadcasting
+        # turns into a batched const of the custom_vmap call, tripping
+        # its consts-unbatched assertion (hit by the model-sharded path
+        # where nr == nr_pad)
+        rT = jnp.pad(rb.T, ((0, nr_pad - nr), (0, 0)))
         return _dd_call(NT, rT, nr, interpret=interpret)[:, :ns]
 
     @matmul_b.defjvp
@@ -228,11 +232,11 @@ def _make_dd_matmul(nr: int, ns: int, nr_pad: int, max_batch: int,
 
     def pair_b(rh, rl, NT):                # (B, nr) f32 pair -> (B, ns) f64
         from . import dd as _dd
-        B = rh.shape[0]
-        z = jnp.zeros((nr_pad, B), jnp.float32)
         s0, s1, s2 = _dd.pair_chop_slices(rh.T, rl.T)
-        return _dd_call_slices(NT, z.at[:nr].set(s0), z.at[:nr].set(s1),
-                               z.at[:nr].set(s2), interpret=interpret)[:, :ns]
+        pad = ((0, nr_pad - nr), (0, 0))   # lax.pad, not .at[].set — see
+        return _dd_call_slices(NT, jnp.pad(s0, pad),  # matmul_b comment
+                               jnp.pad(s1, pad),
+                               jnp.pad(s2, pad), interpret=interpret)[:, :ns]
 
     @jax.custom_batching.custom_vmap
     def matmul_pair(rh, rl, NT):           # (nr,) f32 pair -> (ns,) f64
@@ -270,6 +274,14 @@ class DDContraction:
     (B, nr) f64 rates and returns f64 (.., ns). Under vmap the batch is
     vectorized inside one kernel launch (lanes); under forward-mode AD the
     tangent uses the linearity of the contraction.
+
+    Lane-invariance contract: the stoichiometry operand is a trace-time
+    constant of ONE network — when batching machinery (e.g. a batched
+    ``lax.cond`` broadcasting branch operands) hands the vmap rule a
+    batched NT, the rule takes ``NT[0]`` on the assumption that every
+    lane carries the same matrix. A genuinely per-lane stoichiometry is
+    NOT supported (every lane would silently use lane 0's network);
+    batch over networks with separate DDContraction instances instead.
     """
 
     def __init__(self, N: jnp.ndarray, max_batch: int = 512,
@@ -287,6 +299,7 @@ class DDContraction:
         self.nr_pad = _pad_up(max(nr, DD_CHUNK), DD_CHUNK)
         self.ns_pad = _pad_up(max(ns, SUBLANE), SUBLANE)
         self.max_batch = max_batch
+        self.interpret = interpret
         NT = np.zeros((self.ns_pad, self.nr_pad), dtype=np.float32)
         NT[:ns, :nr] = Nh.T
         self._NT = jnp.asarray(NT)
@@ -432,6 +445,11 @@ class FusedMassActionRHS:
     of length nr; output f64 (ns,) du. Batched via custom_vmap into the
     lane axis of one kernel. Accuracy identical to DDContraction's pair
     path (~2^-45 relative; the one-hot MXU gathers are exact).
+
+    Lane-invariance contract (as in :class:`DDContraction`): the NT and
+    E operands describe ONE network; when a batched ``lax.cond``
+    broadcast hands the vmap rule batched copies, it takes index 0 —
+    per-lane-varying stoichiometry/slot matrices are not supported.
     """
 
     supports_pair = True
@@ -550,13 +568,12 @@ def _make_fused_rhs(nr: int, ns: int, arity: int, nr_pad: int,
     """Build the per-geometry fused-RHS primitive (cached per shape)."""
 
     def rhs_b(uh, ul, kh, kl, NT, E):       # (B, *) f32 -> (B, ns) f64
-        B = uh.shape[0]
-        uhT = jnp.zeros((ns_aug_pad, B), jnp.float32).at[:ns + 1].set(uh.T)
-        ulT = jnp.zeros((ns_aug_pad, B), jnp.float32).at[:ns + 1].set(ul.T)
-        khT = jnp.zeros((nr_pad, B), jnp.float32).at[:nr].set(kh.T)
-        klT = jnp.zeros((nr_pad, B), jnp.float32).at[:nr].set(kl.T)
-        return _fused_call(NT, E, uhT, ulT, khT, klT, arity, mode,
-                           interpret=interpret)[:, :ns]
+        # lax.pad, not .at[].set — see matmul_b comment
+        upad = ((0, ns_aug_pad - (ns + 1)), (0, 0))
+        kpad = ((0, nr_pad - nr), (0, 0))
+        return _fused_call(NT, E, jnp.pad(uh.T, upad), jnp.pad(ul.T, upad),
+                           jnp.pad(kh.T, kpad), jnp.pad(kl.T, kpad),
+                           arity, mode, interpret=interpret)[:, :ns]
 
     @jax.custom_batching.custom_vmap
     def rhs_one(uh, ul, kh, kl, NT, E):     # per-lane -> (ns,) f64

@@ -18,6 +18,8 @@ loops, benchmarks) pay compilation once.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,7 +56,14 @@ def build_condition_sweep(conditions_list: list[ConditionSet], calculator,
         bound = dict(cs.get_static_conditions())
         for sym, prof in cs.get_variable_profiles().items():
             bound[sym] = jnp.asarray(prof.value(jnp.asarray(tstops)))
-        k_tables.append(np.asarray(calculator(**bound)))
+        kt = np.asarray(calculator(**bound))
+        if kt.shape != (tstops.size, nr):
+            raise ValueError(
+                f"calculator returned k table of shape {kt.shape} for "
+                f"{tstops.size} condition stops; expected ({tstops.size}, "
+                f"{nr}) — on-the-fly calculators must broadcast over array-"
+                "valued conditions (k[..., None]-style) to be sweepable")
+        k_tables.append(kt)
     return tstops, np.stack(k_tables)
 
 
@@ -110,7 +119,7 @@ class EnsembleProblem:
 
     def __init__(self, method: VariableODESolve, sd: SpeciesData, rd: RxData,
                  chunk_mode: str = "auto", rate_mode: str = "discrete",
-                 nr_multiple: int = 1):
+                 nr_multiple: int = 1, mesh=None):
         """``chunk_mode``: "scan" runs all chunks in one device program
         (lowest overhead; the right choice for CPU and for multi-chip
         dry-runs), "host" dispatches one device call per chunk, "group"
@@ -135,8 +144,18 @@ class EnsembleProblem:
         self.method = method
         pars = method.pars
         calc = method.calculator
+        model_shards = 0
+        if mesh is not None and "model" in mesh.axis_names:
+            model_shards = int(mesh.shape["model"])
         if chunk_mode == "auto":
-            chunk_mode = "scan" if jax.default_backend() == "cpu" else "host"
+            if model_shards:
+                chunk_mode = "scan"   # the shard_map program is scan-form
+            else:
+                chunk_mode = ("scan" if jax.default_backend() == "cpu"
+                              else "host")
+        if model_shards and chunk_mode != "scan":
+            raise ValueError("model-axis sharded solves support "
+                             "chunk_mode='scan' only")
         if chunk_mode not in ("scan", "host", "group"):
             raise ValueError(f"unknown chunk_mode {chunk_mode!r}")
         self.chunk_mode = chunk_mode
@@ -156,22 +175,35 @@ class EnsembleProblem:
             calc.splice(ids)
         calc.setup_network(self.sd, self.rd)
 
+        from ..models.mass_action import resolve_clip_delta
         self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
-        self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
+        self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype,
+                                     clip_delta=resolve_clip_delta(pars))
         # reaction-axis padding: make nr divisible by a model-axis mesh
         # size (reaction-sharded 2-D meshes; see ensemble_shardings).
         # Padded slots are inert and the per-step k vector is zero-padded
-        # by the wrapped prepare hook below.
-        self._nr_pad = (-self.net.nr) % max(int(nr_multiple), 1)
+        # by the wrapped prepare hook below. With a constructor mesh the
+        # multiple also covers the Pallas kernels' per-shard chunk size,
+        # so every model shard holds whole DD_CHUNK reaction blocks.
+        nr_multiple = max(int(nr_multiple), 1)
+        if model_shards:
+            from ..ops.pallas_matmul import DD_CHUNK
+            per_shard = DD_CHUNK if self._will_use_pallas(pars) else 1
+            req = model_shards * per_shard
+            nr_multiple = nr_multiple * req // math.gcd(nr_multiple, req)
+        self._nr_pad = (-self.net.nr) % nr_multiple
         if self._nr_pad:
             from ..models.mass_action import pad_reactions
             self.net = pad_reactions(self.net, self.net.nr + self._nr_pad)
         jdt = _jac_dtype(pars)
         from ..solving.methods import _resolve_contraction
         contraction = _resolve_contraction(self.net, pars)
+        self._contraction = contraction
         jac_net = (MassActionNetwork(self.net.reac_slots,
-                                     self.net.N.astype(jdt))
+                                     self.net.N.astype(jdt),
+                                     delta=self.net.delta)
                    if jdt != self.dtype else None)
+        self._jac_net = jac_net
         if rate_mode == "discrete":
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "discrete", jac_net=jac_net,
@@ -191,6 +223,7 @@ class EnsembleProblem:
                          for sym, (cls, sv) in classes.items()}
                 return calc(**bound)
 
+            self._k_fn = k_fn
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net,
                 analytic_jac=pars.jac, contraction=contraction)
@@ -198,22 +231,65 @@ class EnsembleProblem:
             stops_axes = 0             # per-member profile-kink stops
         if self._nr_pad and rate_mode == "continuous":
             # continuous k comes from the calculator at trace time: pad
-            # its output. (Discrete k-tables are padded in solve() so the
-            # SHARDED table axis itself has the padded length.)
+            # its output — a single f64 vector, or the double-f32 pair
+            # when a pair-mode contraction already split it. (Discrete
+            # k-tables are padded in solve() so the SHARDED table axis
+            # itself has the padded length.)
             inner_prepare = self.prepare
             npad = self._nr_pad
-            self.prepare = (lambda t_stage, t_start, a:
-                            jnp.pad(inner_prepare(t_stage, t_start, a),
-                                    (0, npad)))
+
+            def _padded_prepare(t_stage, t_start, a):
+                k = inner_prepare(t_stage, t_start, a)
+                if isinstance(k, tuple):
+                    return tuple(jnp.pad(x, (0, npad)) for x in k)
+                return jnp.pad(k, (0, npad))
+
+            self.prepare = _padded_prepare
         self.chunkstep = pars.solve_chunkstep
         self.saveat_local, self.n_chunks = _chunk_save_grid(pars)
         self._saveat_j = jnp.asarray(self.saveat_local)
         self._chunk_ids = jnp.arange(self.n_chunks, dtype=self.dtype)
         self.pars = pars
 
-        pars_ref = pars
+        self._payload_axes = payload_axes
+        self._stops_axes = stops_axes
+
+        member, member_chunk, member_group = self._member_builders(
+            self.rhs, self.jac, self.prepare)
+
+        # tolerances are per-member (B,) vectors: the adaptive retry loop
+        # tightens only the failed lanes (see solve()), so tol axes are 0
+        self._solve_fn = jax.jit(
+            jax.vmap(member, in_axes=(0, payload_axes, stops_axes,
+                                      0, 0)))
+
+        self._chunk_fn = jax.jit(
+            jax.vmap(member_chunk,
+                     in_axes=(0, 0, payload_axes, stops_axes, None,
+                              0, 0)))
+
+        # stops rows are per-chunk: slice axis 0 (discrete/shared) or
+        # axis 1 (continuous/per-member) when grouping
+        self._group_fn = jax.jit(
+            jax.vmap(member_group,
+                     in_axes=(0, 0, payload_axes,
+                              None if stops_axes is None else 0,
+                              None, 0, 0)))
+
+        self._mesh = mesh
+        self._batch_multiple = 1
+        self._solve_fn_sharded = None
+        if mesh is not None and "model" in mesh.axis_names:
+            self._batch_multiple = int(mesh.shape.get("batch", 1))
+            self._build_sharded(mesh)
+
+    def _member_builders(self, rhs, jac, prepare):
+        """Single-member chunkwise solve closures over one (rhs, jac,
+        prepare) triple — shared by the plain vmapped programs and the
+        shard_map (model-sharded) program, whose rhs/jac close over
+        per-shard reaction blocks."""
+        pars_ref = self.pars
         chunkstep = self.chunkstep
-        rhs, jac, prepare = self.rhs, self.jac, self.prepare
         saveat_j = self._saveat_j
         chunk_ids = self._chunk_ids
 
@@ -228,6 +304,8 @@ class EnsembleProblem:
                     nonnegative=pars_ref.ban_negatives,
                     nonnegative_project=pars_ref.project_negatives,
                     lu_precision=pars_ref.lu_precision,
+                    linsolve=getattr(pars_ref, "linsolve", "auto"),
+                    lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
                     first_step=h_prev, prepare=prepare,
                     args=(nc * chunkstep, payload))
                 return (res.y_final, jnp.minimum(worst, res.status),
@@ -239,12 +317,6 @@ class EnsembleProblem:
                 (chunk_ids, stops_rows))
             return worst, ys, jnp.sum(steps)
 
-        # tolerances are per-member (B,) vectors: the adaptive retry loop
-        # tightens only the failed lanes (see solve()), so tol axes are 0
-        self._solve_fn = jax.jit(
-            jax.vmap(member, in_axes=(0, payload_axes, stops_axes,
-                                      0, 0)))
-
         def member_chunk(u0, h_prev, payload, stops_row, nc, abstol, reltol):
             res = bdf.bdf_solve(
                 rhs, jac, u0, 0.0, chunkstep, saveat_j,
@@ -253,14 +325,11 @@ class EnsembleProblem:
                 nonnegative=pars_ref.ban_negatives,
                 nonnegative_project=pars_ref.project_negatives,
                 lu_precision=pars_ref.lu_precision,
+                linsolve=getattr(pars_ref, "linsolve", "auto"),
+                lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
                 first_step=h_prev, prepare=prepare,
                 args=(nc * chunkstep, payload))
             return res.y_final, res.h, res.status, res.ys, res.n_steps
-
-        self._chunk_fn = jax.jit(
-            jax.vmap(member_chunk,
-                     in_axes=(0, 0, payload_axes, stops_axes, None,
-                              0, 0)))
 
         def member_group(u0, h0, payload, stops_rows, ncs, abstol, reltol):
             def body(carry, xs):
@@ -273,6 +342,8 @@ class EnsembleProblem:
                     nonnegative=pars_ref.ban_negatives,
                     nonnegative_project=pars_ref.project_negatives,
                     lu_precision=pars_ref.lu_precision,
+                    linsolve=getattr(pars_ref, "linsolve", "auto"),
+                    lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
                     first_step=h_prev, prepare=prepare,
                     args=(nc * chunkstep, payload))
                 return (res.y_final, jnp.minimum(worst, res.status),
@@ -283,13 +354,180 @@ class EnsembleProblem:
                 (ncs, stops_rows))
             return u_f, h_f, worst, ys, jnp.sum(steps)
 
-        # stops rows are per-chunk: slice axis 0 (discrete/shared) or
-        # axis 1 (continuous/per-member) when grouping
-        self._group_fn = jax.jit(
-            jax.vmap(member_group,
-                     in_axes=(0, 0, payload_axes,
-                              None if stops_axes is None else 0,
-                              None, 0, 0)))
+        return member, member_chunk, member_group
+
+    @staticmethod
+    def _will_use_pallas(pars) -> bool:
+        """Predict whether ``_resolve_contraction`` will pick a Pallas
+        kernel — needed BEFORE the network is padded, because the
+        model-sharding pad multiple depends on the kernel chunk size.
+        (A wrong guess only affects padding size, never correctness:
+        inert reactions are exact no-ops on every path.)"""
+        choice = getattr(pars, "rhs_contraction", "auto")
+        if choice == "float64":
+            return False
+        if choice in ("fused", "dd"):
+            return True
+        return (jax.default_backend() != "cpu"
+                and getattr(pars, "dtype", "float64") == "float64")
+
+    def _build_sharded(self, mesh):
+        """shard_map program for ``("batch", "model")`` meshes.
+
+        Batch lanes shard over ``batch``; the REACTION axis — rate
+        tables and the stoichiometry/slot operands — shards over
+        ``model``. Each shard evaluates its local reaction block through
+        the same contraction implementation (fused/dd Pallas kernels or
+        the dense dot) and ``lax.psum`` over ``model`` assembles du/dt
+        and the Jacobian; solver state stays replicated across model
+        ranks (every rank runs the identical Newton/controller math on
+        the psum'd values). The custom kernels have no GSPMD
+        partitioning rule, so the split is explicit — shard_map +
+        collectives — rather than relying on the partitioner
+        (VERDICT r2 #3)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.mass_action import _clip_pos
+        from ..ops.dd import pair_from_f64
+        from ..ops.interp import left_constant_lookup
+
+        pars = self.pars
+        net = self.net
+        contraction = self._contraction
+        n_model = int(mesh.shape["model"])
+        nr_g, ns = net.nr, net.ns
+        if nr_g % n_model:
+            raise ValueError(f"padded reaction count {nr_g} not divisible "
+                             f"by {n_model} model shards")
+        nr_loc = nr_g // n_model
+        jdt = _jac_dtype(pars)
+        pair_mode = contraction is not None and getattr(
+            contraction, "supports_pair", False)
+        fused = pair_mode and getattr(contraction, "supports_fused", False)
+
+        if fused:
+            from ..ops.pallas_matmul import make_local_fused_rhs
+            local_rhs_one = make_local_fused_rhs(contraction, n_model)
+            carrays = (contraction._NT, contraction._E)
+            cspecs = (P(None, "model"), P(None, "model", None))
+        elif pair_mode:
+            from ..ops.pallas_matmul import make_local_dd_pair
+            local_pair = make_local_dd_pair(contraction, n_model)
+            carrays = (contraction._NT,)
+            cspecs = (P(None, "model"),)
+        else:
+            carrays = ()
+            cspecs = ()
+
+        rate_mode = self.rate_mode
+        npad = self._nr_pad
+        k_fn = getattr(self, "_k_fn", None)
+        analytic = pars.jac
+
+        def make_fns(net_l, jnet_l, *car):
+            """(rhs, jac, prepare) closing over one shard's reaction
+            block — the local counterpart of solving.methods
+            ._make_rhs_jac."""
+            if rate_mode == "discrete":
+                # the k-table operand is already reaction-sharded: the
+                # lookup row IS the local k block
+                def prepare_raw(t_stage, t_start, a):
+                    tstops, ktab = a[1]
+                    return left_constant_lookup(t_start + a[0], tstops, ktab)
+            else:
+                # continuous k comes from the (replicated) calculator at
+                # full length; slice this shard's block by mesh position
+                def prepare_raw(t_stage, t_start, a):
+                    k = k_fn(t_stage + a[0], a[1])
+                    if npad:
+                        k = jnp.pad(k, (0, npad))
+                    i = jax.lax.axis_index("model")
+                    return jax.lax.dynamic_slice(k, (i * nr_loc,), (nr_loc,))
+
+            if pair_mode:
+                def prepare(t_stage, t_start, a):
+                    return pair_from_f64(prepare_raw(t_stage, t_start, a))
+            else:
+                prepare = prepare_raw
+
+            if fused:
+                NT_l, E_l = car
+                delta = net.delta
+
+                def rhs(t, u, k_pair):
+                    u_aug = jnp.concatenate([_clip_pos(u, delta),
+                                             jnp.ones((1,), u.dtype)])
+                    uh, ul = pair_from_f64(u_aug)
+                    du = local_rhs_one(uh, ul, k_pair[0], k_pair[1],
+                                       NT_l, E_l)
+                    return jax.lax.psum(du, "model")
+            elif pair_mode:
+                (NT_l,) = car
+
+                def rhs(t, u, k_pair):
+                    rh, rl = net_l.rates_pair(u, k_pair)
+                    return jax.lax.psum(local_pair(rh, rl, NT_l), "model")
+            else:
+                def rhs(t, u, k):
+                    return jax.lax.psum(net_l.rhs(u, k), "model")
+
+            if pair_mode:
+                if jdt == jnp.float32:
+                    def k_for_jac(kp):
+                        return kp[0]
+                else:
+                    def k_for_jac(kp):
+                        return kp[0].astype(jdt) + kp[1].astype(jdt)
+            else:
+                def k_for_jac(k):
+                    return k.astype(jdt)
+
+            if analytic:
+                def jac(t, u, k):
+                    Jl = jnet_l.jac(u.astype(jdt), k_for_jac(k))
+                    return jax.lax.psum(Jl, "model")
+            else:
+                def jac(t, u, k):
+                    kk = k_for_jac(k)
+                    Jl = jax.jacfwd(
+                        lambda uu: jnet_l.rhs(uu, kk))(u.astype(jdt))
+                    return jax.lax.psum(Jl, "model")
+
+            return rhs, jac, prepare
+
+        payload_axes, stops_axes = self._payload_axes, self._stops_axes
+
+        def body(u0_l, payload_l, stops_l, at_l, rt_l, net_l, jnet_l, *car):
+            rhs, jac, prepare = make_fns(net_l, jnet_l, *car)
+            member, _, _ = self._member_builders(rhs, jac, prepare)
+            return jax.vmap(member,
+                            in_axes=(0, payload_axes, stops_axes, 0, 0))(
+                u0_l, payload_l, stops_l, at_l, rt_l)
+
+        if rate_mode == "discrete":
+            payload_spec = (P(), P("batch", None, "model"))
+            stops_spec = P()
+        else:
+            payload_spec = P("batch")   # prefix spec over the theta dict
+            stops_spec = P("batch")
+        # the spec "network" must carry the SAME aux (delta) as the real
+        # one: pytree-prefix matching in shard_map compares treedefs
+        net_spec = MassActionNetwork(reac_slots=P("model"), N=P("model"),
+                                     delta=net.delta)
+        in_specs = (P("batch"), payload_spec, stops_spec, P("batch"),
+                    P("batch"), net_spec, net_spec) + cspecs
+        out_specs = (P("batch"), P("batch"), P("batch"))
+        try:
+            sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+        except TypeError:   # older shard_map signature
+            sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_rep=False)
+
+        jnet_g = self._jac_net if self._jac_net is not None else net
+        self._solve_fn_sharded = jax.jit(
+            lambda u0, pl, st, at, rt: sm(u0, pl, st, at, rt, net, jnet_g,
+                                          *carrays))
 
     def _gather_lanes(self, u0s_j, payload, stops_rows, idx):
         """Compact selected ensemble lanes into a small retry batch.
@@ -309,26 +547,31 @@ class EnsembleProblem:
             stops_r = stops_rows[take]
         return u0_r, payload_r, stops_r
 
-    @staticmethod
-    def _retry_batch_size(n_failed, B):
+    def _retry_batch_size(self, n_failed, B):
         """Next power-of-two >= n_failed, capped at the full batch.
 
         Power-of-two padding bounds the number of distinct compiled retry
         programs at log2(B); the Pallas kernels self-pad sub-sublane
-        batches so any size executes.
+        batches so any size executes. Mesh-sharded solves additionally
+        round up to the batch-axis device count so the retry batch still
+        shards evenly.
         """
         Br = 1
         while Br < n_failed:
             Br *= 2
+        m = self._batch_multiple
+        Br = ((Br + m - 1) // m) * m
         return min(Br, B)
 
-    def _run_batch(self, B, u0s_j, payload, stops_rows, abstol_j, reltol_j):
+    def _run_batch(self, B, u0s_j, payload, stops_rows, abstol_j, reltol_j,
+                   sharded=False):
         """One batched run at per-member tolerances -> (statuses, ys,
         steps).
 
         ``ys`` has shape (B, n_chunks, m, ns); ``statuses`` is the
         per-member worst chunk status and ``steps`` the per-member total
-        integrator step count, both numpy (B,) int arrays.
+        integrator step count, both numpy (B,) int arrays. ``sharded``
+        routes through the shard_map (model-axis) program.
         """
         steps = jnp.zeros((B,), jnp.int32)
         if self.chunk_mode == "host":
@@ -367,7 +610,8 @@ class EnsembleProblem:
             statuses = np.asarray(worst)
             ys = jnp.concatenate(ys_groups, axis=1)
         else:
-            statuses, ys, steps = self._solve_fn(
+            fn = self._solve_fn_sharded if sharded else self._solve_fn
+            statuses, ys, steps = fn(
                 u0s_j, payload, stops_rows, abstol_j, reltol_j)
             statuses = np.asarray(statuses)
         return statuses, ys, np.asarray(steps)
@@ -433,6 +677,7 @@ class EnsembleProblem:
             payload = (jnp.asarray(tstops, dtype=self.dtype),
                        jnp.asarray(k_tables, dtype=self.dtype))
         u0s_j = jnp.asarray(u0s, dtype=self.dtype)
+        use_sharded = False
         if sharding is not None:
             # ``sharding`` may be a NamedSharding (applied to every input —
             # the 1-D batch-DP form) or a Mesh: with a ("batch", "model")
@@ -440,6 +685,28 @@ class EnsembleProblem:
             # ``model`` (see parallel.sharding.ensemble_shardings).
             from jax.sharding import Mesh as _Mesh
             if isinstance(sharding, _Mesh):
+                if "model" in sharding.axis_names:
+                    if self._solve_fn_sharded is not None:
+                        if sharding != self._mesh:
+                            raise ValueError(
+                                "solve() mesh differs from the mesh this "
+                                "EnsembleProblem was constructed with")
+                        if B % self._batch_multiple:
+                            raise ValueError(
+                                f"batch {B} not divisible by the mesh "
+                                f"batch axis ({self._batch_multiple})")
+                        use_sharded = True
+                    elif self._contraction is not None:
+                        # Pallas contractions have no GSPMD partitioning
+                        # rule — input-placement propagation would gather/
+                        # replicate (or fail) on hardware. Require the
+                        # explicit shard_map program.
+                        raise ValueError(
+                            "model-axis sharding with a Pallas contraction "
+                            "requires EnsembleProblem(..., mesh=mesh) so "
+                            "the shard_map program is built; or set "
+                            "rhs_contraction='float64' for the "
+                            "partitioner-friendly dense dot")
                 from .sharding import ensemble_shardings
                 u0_sh, k_sh = ensemble_shardings(sharding)
             else:
@@ -475,7 +742,8 @@ class EnsembleProblem:
             if statuses is None:
                 new_statuses, new_ys, new_steps = self._run_batch(
                     B, u0s_j, payload, stops_rows,
-                    jnp.asarray(abstol_v), jnp.asarray(reltol_v))
+                    jnp.asarray(abstol_v), jnp.asarray(reltol_v),
+                    sharded=use_sharded)
                 # writable copies: retry merges scatter into these in place
                 statuses = np.array(new_statuses)
                 ys = np.array(new_ys)
@@ -490,7 +758,8 @@ class EnsembleProblem:
                 self.last_retry_batch = int(Br)
                 new_statuses, new_ys, new_steps = self._run_batch(
                     Br, u0_r, payload_r, stops_r,
-                    jnp.asarray(abstol_v[idx]), jnp.asarray(reltol_v[idx]))
+                    jnp.asarray(abstol_v[idx]), jnp.asarray(reltol_v[idx]),
+                    sharded=use_sharded)
                 statuses[lanes] = new_statuses[:lanes.size]
                 steps_v[lanes] = new_steps[:lanes.size]
                 ys[lanes] = np.asarray(new_ys)[:lanes.size]

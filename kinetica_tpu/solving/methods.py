@@ -243,9 +243,10 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
             # compensated contraction in ONE kernel launch; only the
             # cheap (ns,)-sized clip/augment/pair-split stays in XLA
             from ..models.mass_action import _clip_pos
+            clip_delta = net.delta
 
             def rhs(t, u, k_pair):
-                u_aug = jnp.concatenate([_clip_pos(u),
+                u_aug = jnp.concatenate([_clip_pos(u, clip_delta),
                                          jnp.ones((1,), u.dtype)])
                 uh, ul = pair_from_f64(u_aug)
                 return contraction.rhs_pair(uh, ul, *k_pair)
@@ -567,10 +568,13 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
             "nothing to solve. Check the filter masks, low_k_cutoff and "
             "(for explored networks) the max_molecularity ingestion limit.")
 
+    from ..models.mass_action import resolve_clip_delta
     dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
-    net = build_mass_action(rd_active, sd_active.n, dtype=dtype)
+    net = build_mass_action(rd_active, sd_active.n, dtype=dtype,
+                            clip_delta=resolve_clip_delta(pars))
     jdt = _jac_dtype(pars)
-    jac_net = (MassActionNetwork(net.reac_slots, net.N.astype(jdt))
+    jac_net = (MassActionNetwork(net.reac_slots, net.N.astype(jdt),
+                                 delta=net.delta)
                if jdt != dtype else None)
     u0 = jnp.asarray(make_u0(sd_active, pars), dtype=dtype)
 

@@ -64,6 +64,16 @@ class ODESimulationParams:
     # through per-solve refinement). Wider = fewer refactors, but the
     # worst batch lane's step count grows past ~0.25.
     lu_drift_tol: float = 0.1
+    # Concentration floor of the smooth nonnegative clip applied to u
+    # before rate evaluation (models.mass_action._clip_pos): species
+    # within ~clip_delta of zero see smoothly damped rates (~27% at
+    # u = clip_delta, vanishing by ~10x above it). "auto" scales the
+    # width with the requested accuracy — min(1e-12, 0.01 * abstol) —
+    # so the biased region always sits two decades below what the solve
+    # resolves; an explicit float pins it. Note the adaptive-tolerance
+    # retry tightens tolerances at run time but keeps the floor chosen
+    # from the REQUESTED abstol.
+    clip_delta: object = "auto"                 # float | "auto"
 
     def __post_init__(self):
         if self.tspan[0] >= self.tspan[1]:
@@ -111,6 +121,13 @@ class ODESimulationParams:
 
         if not (0.0 <= self.lu_drift_tol < 1.0):
             raise ValueError("lu_drift_tol must be in [0, 1)")
+
+        if isinstance(self.clip_delta, str):
+            if self.clip_delta != "auto":
+                raise ValueError("clip_delta must be a positive float or "
+                                 "'auto'")
+        elif self.clip_delta <= 0:
+            raise ValueError("clip_delta must be a positive float or 'auto'")
 
         # Sparse Newton matrices are a CPU/KLU concept (reference
         # params.jl:55-110); on TPU the dense path IS the fast path (MXU

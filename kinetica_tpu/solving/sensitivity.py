@@ -106,8 +106,10 @@ class SensitivityProblem:
                                or self.rids.max() >= self.rd.nr):
             raise ValueError("rids out of range for the filtered network")
 
+        from ..models.mass_action import resolve_clip_delta
         self.dtype = jnp.float64 if pars.dtype == "float64" else jnp.float32
-        self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype)
+        self.net = build_mass_action(self.rd, self.sd.n, dtype=self.dtype,
+                                     clip_delta=resolve_clip_delta(pars))
         self.rhs, self.jac, self.prepare = _make_rhs_jac(self.net, "discrete")
         self.pars = pars
         self.t0 = pars.tspan[0]

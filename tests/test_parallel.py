@@ -124,6 +124,82 @@ class TestSharding:
                                    rtol=1e-10, atol=1e-14)
 
 
+class TestModelShardedContractions:
+    """VERDICT r2 #3: the Pallas contractions must COMPOSE with model-axis
+    sharding. EnsembleProblem(mesh=...) builds a shard_map program —
+    reaction blocks (k tables, stoichiometry/slot operands) shard over
+    ``model``, each shard runs its local kernel (interpret mode on CPU),
+    and psum assembles du/dt and the Jacobian."""
+
+    def _setup(self, B=4, tf=3.0):
+        from kinetica_tpu.calculators.builtin import \
+            PrecalculatedArrheniusCalculator
+        from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+        # nc=8 -> 183 reactions: spans BOTH model shards after padding to
+        # 256 (DD_CHUNK x 2), so the psum genuinely sums across devices
+        sd, rd, Ea, A = synthetic_pyrolysis_network(8)
+        mkcalc = lambda: PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        rates = np.linspace(50.0, 70.0, B)
+        conds = [ConditionSet({"T": LinearGradientProfile(
+            rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)},
+            ts_update=0.5) for r in rates]
+        return sd, rd, mkcalc, conds, tf
+
+    @pytest.mark.parametrize("contraction", ["fused", "dd"])
+    def test_pallas_contraction_model_sharded(self, contraction):
+        sd, rd, mkcalc, conds, tf = self._setup()
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C8": 1.0},
+                                   solve_chunks=True, solve_chunkstep=1.0,
+                                   low_k_cutoff="none",
+                                   rhs_contraction=contraction)
+        mesh = make_mesh(8, axis_names=("batch", "model"), shape=(4, 2))
+        prob_s = EnsembleProblem(VariableODESolve(pars, conds[0], mkcalc()),
+                                 sd, rd, mesh=mesh)
+        ens_s = prob_s.solve(conditions_list=conds, sharding=mesh)
+        prob_p = EnsembleProblem(VariableODESolve(pars, conds[0], mkcalc()),
+                                 sd, rd)
+        ens_p = prob_p.solve(conditions_list=conds)
+        assert ens_s.success and ens_p.success
+        # the sharded contraction sums partial du in a different order:
+        # tolerance covers integrator-amplified last-bit differences
+        # (measured max ~1e-5 relative over the 3 s horizon — far below
+        # solver accuracy, far above any composition bug)
+        np.testing.assert_allclose(ens_s.u, ens_p.u, rtol=1e-4, atol=1e-10)
+
+    def test_requires_constructor_mesh_for_pallas(self):
+        sd, rd, mkcalc, conds, tf = self._setup()
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C8": 1.0},
+                                   solve_chunks=True, solve_chunkstep=1.0,
+                                   low_k_cutoff="none",
+                                   rhs_contraction="fused")
+        mesh = make_mesh(8, axis_names=("batch", "model"), shape=(4, 2))
+        prob = EnsembleProblem(VariableODESolve(pars, conds[0], mkcalc()),
+                               sd, rd)   # no mesh at construction
+        with pytest.raises(ValueError, match="mesh"):
+            prob.solve(conditions_list=conds, sharding=mesh)
+
+    def test_sharded_continuous_mode(self):
+        """Continuous (theta-batched) rate mode under the model mesh: the
+        per-shard k block is sliced from the full calculator output by
+        mesh position."""
+        sd, rd, mkcalc, conds, tf = self._setup()
+        conds_c = [ConditionSet({"T": p.get_profile("T")})
+                   for p in conds]      # no ts_update: continuous
+        pars = ODESimulationParams(tspan=(0.0, tf), u0={"C8": 1.0},
+                                   solve_chunks=True, solve_chunkstep=1.0,
+                                   low_k_cutoff="none",
+                                   rhs_contraction="fused")
+        mesh = make_mesh(8, axis_names=("batch", "model"), shape=(4, 2))
+        prob_s = EnsembleProblem(VariableODESolve(pars, conds_c[0], mkcalc()),
+                                 sd, rd, mesh=mesh, rate_mode="continuous")
+        ens_s = prob_s.solve(conditions_list=conds_c, sharding=mesh)
+        prob_p = EnsembleProblem(VariableODESolve(pars, conds_c[0], mkcalc()),
+                                 sd, rd, rate_mode="continuous")
+        ens_p = prob_p.solve(conditions_list=conds_c)
+        assert ens_s.success and ens_p.success
+        np.testing.assert_allclose(ens_s.u, ens_p.u, rtol=1e-7, atol=1e-12)
+
+
 class TestChunkModes:
     def test_host_mode_matches_scan_mode(self):
         """Per-chunk host dispatch (the accelerator default: bounds single
