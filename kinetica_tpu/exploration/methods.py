@@ -74,6 +74,10 @@ class IterativeExplore(AbstractExploreMethod):
     # member 0's trajectory. The network is never modified in place on
     # this path (EnsembleProblem filters on copies).
     solve_conditions_list: list | None = None
+    # Hard level budget (no reference equivalent): stop after this many
+    # levels even if seeds have not converged — bounds wall-clock on
+    # open-ended chemistries. None = run to seed convergence.
+    max_levels: int | None = None
 
 
 def _mark_converged(loc: ExploreLoc) -> None:
@@ -328,6 +332,12 @@ def _explore_iterative(exploremethod: IterativeExplore,
             next_seeds = identify_next_seeds(
                 gate_sol, res.sd, exploremethod.seed_conc,
                 ignore=exploremethod.inert_species, saveto=seeds_out)
+
+        if (exploremethod.max_levels is not None
+                and loc.level >= exploremethod.max_levels):
+            logger.info("LEVEL BUDGET (%d) REACHED — STOPPING ITERATIVE "
+                        "EXPLORATION", exploremethod.max_levels)
+            break
 
         if set(current_seeds) == set(next_seeds):
             convergence_count += 1

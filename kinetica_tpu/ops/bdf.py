@@ -439,23 +439,31 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                 jnp.zeros_like(y_pred), y_pred, jnp.asarray(0.0, f32))
         it, converged, diverged, d, y, dy_last = lax.while_loop(
             cond, body, init)
-        # Post-hoc noise reclassification: an ITERATION-CAPPED exit whose
-        # LAST update was below 0.03 scale-units left d uncertain by at
-        # most ~3% of the accuracy target (non-growing tail) — that is
-        # convergence at the arithmetic's noise floor, not failure (the
+        # Post-hoc noise reclassification: an exit (divergence-flagged or
+        # iteration-capped) whose LAST update was below 0.03 scale-units
+        # is treated as converged at the arithmetic's noise floor (the
         # f64 RHS rounding floor c*eps*gross_flux/scale on saturated-rate
         # CRNs sits at ~1e-3..1e-2 scaled, above newton_tol, so strict
         # Newton can never "prove" convergence there and the stepper
         # rejects its way into an ever-smaller-h trap; measured 35k-100k
-        # steps/chunk where scipy takes ~100). Divergence-flagged exits
-        # (rate >= 1.2, growing updates) are EXCLUDED: their tail bound
-        # does not hold, so they go back to the step-retry path. Applied
+        # steps/chunk where scipy takes ~100). Accuracy bound: for an
+        # iteration-capped non-growing tail the residual uncertainty in d
+        # is <~ 3% of the accuracy target; for a divergence-flagged exit
+        # (rate >= 1.2) that geometric bound does NOT hold — but at the
+        # noise floor the rate estimate itself is dominated by
+        # linear-solve noise (measured ~0.2 apparent rate where the true
+        # contraction is ~1e-3), so the "divergence" classification is
+        # unreliable there, and the step ERROR TEST remains the actual
+        # accuracy guard. Excluding diverged exits was tried (ADVICE r2)
+        # and measured a 20x step-count regression on the saturated
+        # full-ramp CRN (15.8k -> 314k steps) with no accuracy change —
+        # the flagged exits there are exactly the spurious ones. Applied
         # ONLY at loop exit: rescuing would-be failures leaves
         # ordinarily-converging steps at full strict-test accuracy (an
         # in-loop version measurably degraded forward-sensitivity/FD
         # agreement to 16%).
-        converged = converged | ((it > 0) & (~diverged)
-                                 & (dy_last < _NOISE_ACCEPT))
+        del diverged
+        converged = converged | ((it > 0) & (dy_last < _NOISE_ACCEPT))
         return converged, it, y, d
 
     def fill_saveat(t_new, h, order, D, save_ptr, ys):

@@ -89,8 +89,15 @@ def split3(r: jnp.ndarray):
 
 # reactions per kernel launch: the kernel body is a static unroll, so the
 # Mosaic program size (and compile time) scales with CHUNK, not nr —
-# a host-side lax.scan chains launches, carrying the accumulators
-DD_CHUNK = 128
+# a host-side lax.scan chains launches, carrying the accumulators.
+# Env-tunable (KINETICA_DD_CHUNK) for launch-count/compile-time ablation:
+# larger chunks mean fewer chained launches per RHS eval (~13 us fixed
+# cost each on a remote-attached chip) at the cost of a bigger unrolled
+# Mosaic program. Read once at import; all padded geometries derive
+# from it, so it must not change mid-process.
+import os as _os
+
+DD_CHUNK = int(_os.environ.get("KINETICA_DD_CHUNK", "128"))
 
 
 def _dd_chunk_kernel(chunk: int, nt_ref, r0_ref, r1_ref, r2_ref,
