@@ -207,7 +207,9 @@ def device_phase(result_path, cpu_final_path, platform):
     cpu_final = np.load(cpu_final_path)["cpu_final"]
 
     method = VariableODESolve(pars, conditions_list[0], calc)
-    problem = EnsembleProblem(method, sd, rd, rate_mode="continuous")
+    problem = EnsembleProblem(
+        method, sd, rd, rate_mode="continuous",
+        chunk_mode=os.environ.get("KINETICA_BENCH_CHUNK_MODE", "auto"))
     t0 = time.perf_counter()
     ens = problem.solve(conditions_list=conditions_list)
     compile_and_run = time.perf_counter() - t0

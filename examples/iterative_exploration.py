@@ -69,7 +69,9 @@ class UniformArrhenius(KineticCalculator):
         import jax.numpy as jnp
         from kinetica_tpu import constants
         k = self.A * jnp.exp(-self.Ea / (constants.R * jnp.asarray(T)))
-        return jnp.full((self.nr,), 1.0) * k * constants.N_A
+        # broadcast over array-valued T: condition sweeps evaluate the
+        # calculator on a whole tstop grid at once -> (..., nr) tables
+        return jnp.asarray(k)[..., None] * jnp.ones((self.nr,)) * constants.N_A
 
 
 def main():
@@ -79,13 +81,19 @@ def main():
     template = write_minimal_template(os.path.join(workdir, "template"),
                                       nrxn_per_mech=2)
 
-    conditions = ConditionSet(
-        {"T": LinearGradientProfile(rate=60.0, X_start=600.0, X_end=1200.0)})
-    tf = conditions.get_t_final()
+    # a SWEEP of ramp rates gates every level (BASELINE config 5): the
+    # per-level kinetic simulation is one vmapped batched device solve and
+    # next-level seeds are species that matter under ANY swept condition
+    tf = 10.0
+    conditions_list = [
+        ConditionSet({"T": LinearGradientProfile(
+            rate=r, X_start=600.0, X_end=600.0 + r * tf)})
+        for r in (40.0, 60.0, 80.0)]
     pars = ODESimulationParams(tspan=(0.0, tf), u0={"CC": 1.0},
                                solve_chunks=True, solve_chunkstep=tf / 10,
                                low_k_cutoff="none")
-    solvemethod = VariableODESolve(pars, conditions, UniformArrhenius())
+    solvemethod = VariableODESolve(pars, conditions_list[0],
+                                   UniformArrhenius())
 
     exploremethod = IterativeExplore(
         rdir_head=os.path.join(workdir, "crn"),
@@ -93,8 +101,10 @@ def main():
         rxn_convergence_threshold=2,
         seed_convergence_threshold=2,
         seed_conc=0.05,
+        max_levels=4,
+        solve_conditions_list=conditions_list,
         cde=CDE(template_dir=template, cde_exec=get_cde_lite_exec(),
-                sampling_seed=7, nrxn=4, radius=2))
+                sampling_seed=7, nrxn=4, radius=1))
 
     res = explore_network(exploremethod, solvemethod,
                           savedir=os.path.join(workdir, "out"))

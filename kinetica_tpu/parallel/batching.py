@@ -588,6 +588,9 @@ class EnsembleProblem:
                 ys_chunks.append(ys_c)
                 steps = steps + st_c
                 worst = status if worst is None else jnp.minimum(worst, status)
+                if self.pars.progress:
+                    logger.info("   - chunk %d/%d dispatched",
+                                nc + 1, self.n_chunks)
             statuses = np.asarray(worst)
             ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
         elif self.chunk_mode == "group":
@@ -607,6 +610,9 @@ class EnsembleProblem:
                 ys_groups.append(ys_g)   # (B, hi-lo, m, ns)
                 steps = steps + st_g
                 worst = status if worst is None else jnp.minimum(worst, status)
+                if self.pars.progress:
+                    logger.info("   - chunks %d-%d/%d dispatched",
+                                lo + 1, hi, self.n_chunks)
             statuses = np.asarray(worst)
             ys = jnp.concatenate(ys_groups, axis=1)
         else:

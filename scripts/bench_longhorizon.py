@@ -1,11 +1,14 @@
 """BASELINE config 3: 1e5 s long-timescale variable-T sweep on one chip.
 
-64 slow linear ramps (500 K + r*t, r in [4e-3, 6e-3] K/s over 1e5 s) of
-the 603-reaction synthetic pyrolysis CRN, solved chunkwise in continuous
+Slow linear ramps (500 K + r*t, r in [4e-3, 6e-3] K/s over 1e5 s) of the
+synthetic pyrolysis CRN at the NORTH-STAR scale (default NC=24 -> 1095
+reactions / 73 species; VERDICT r2 #2), solved chunkwise in continuous
 rate mode at the production tolerances. Reports per-profile wall-clock
-(the corresponding r1 figure was ~0.92 s/profile) and element-
-conservation drift. Run on TPU: python scripts/bench_longhorizon.py
+(r1 figure at NC=16 was ~0.92 s/profile) and element-conservation drift.
+Run on TPU: python scripts/bench_longhorizon.py
+Env knobs: KINETICA_BENCH_NC, KINETICA_BENCH_BATCH.
 """
+import os
 import sys
 import time
 
@@ -25,7 +28,9 @@ from kinetica_tpu.solving.methods import VariableODESolve
 from kinetica_tpu.solving.params import ODESimulationParams
 from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
 
-NC, B, TF = 16, 64, 1e5
+NC = int(os.environ.get("KINETICA_BENCH_NC", "24"))
+B = int(os.environ.get("KINETICA_BENCH_BATCH", "64"))
+TF = 1e5
 
 sd, rd, Ea, A = synthetic_pyrolysis_network(NC)
 calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
