@@ -110,9 +110,11 @@ def build():
         ConditionSet({"T": LinearGradientProfile(
             rate=float(r), X_start=500.0, X_end=500.0 + float(r) * tf)})
         for r in rates]
-    pars = ODESimulationParams(tspan=(0.0, tf), u0={f"C{N_CARBONS}": 1.0},
-                               solve_chunks=True, solve_chunkstep=0.5,
-                               low_k_cutoff="none", abstol=ATOL, reltol=RTOL)
+    pars = ODESimulationParams(
+        tspan=(0.0, tf), u0={f"C{N_CARBONS}": 1.0},
+        solve_chunks=True, solve_chunkstep=0.5,
+        low_k_cutoff="none", abstol=ATOL, reltol=RTOL,
+        linsolve=os.environ.get("KINETICA_BENCH_LINSOLVE", "auto"))
     return sd, rd, calc, conditions_list, pars
 
 

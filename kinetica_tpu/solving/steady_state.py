@@ -215,3 +215,68 @@ def find_steady_state_ensemble(method, sd, rd, conditions_list,
     return SteadyStateEnsemble(u=np.asarray(u), residual=residual,
                                t_total=t_total, converged=conv,
                                epochs=epoch)
+
+
+def steady_state_sensitivities(method, sd, rd, result=None,
+                               copy_network: bool = True) -> np.ndarray:
+    """EXACT parameter sensitivities of a steady state: S = du*/d ln k.
+
+    At a fixed point f(u*, k) = 0 the implicit function theorem gives
+    the sensitivity as one LINEAR solve — no time integration and no
+    per-parameter resolves (the time-domain counterpart,
+    :mod:`~kinetica_tpu.solving.sensitivity`, integrates nr tangent
+    systems through the whole transient):
+
+        J du*_j = -df/d(ln k_j) = -(N_j^T r_j),   constrained to the
+        conservation manifold L du* = 0,
+
+    where L spans the linear invariants (null(N): element conservation
+    makes the mass-action Jacobian exactly singular along them, and a
+    rate perturbation cannot move conserved totals). The constrained
+    system is solved in f64 on the host by least squares over the
+    stacked [J; L] operator — exact up to roundoff, validated against
+    finite-difference re-solves in tests/test_steady_state.py.
+
+    Returns ``S`` of shape (ns, nr): ``S[m, j] = du*_m / d ln k_j``.
+    No reference equivalent (beyond-parity, like the finder itself).
+    """
+    from .methods import StaticODESolve, solve_network
+    from .solve_utils import get_initial_rates
+
+    if not isinstance(method, StaticODESolve):
+        raise TypeError("steady_state_sensitivities requires a "
+                        "StaticODESolve")
+    if result is None:
+        result = find_steady_state(method, sd, rd,
+                                   copy_network=copy_network)
+    if not result.converged:
+        raise RuntimeError("steady state did not converge; sensitivities "
+                           "at a moving state are not defined")
+
+    integ = solve_network(method, sd, rd, copy_network=copy_network,
+                          return_integrator=True)
+    net = integ.net
+    k = jnp.asarray(get_initial_rates(method.conditions, method.calculator),
+                    jnp.float64)
+    if k.shape[0] != net.nr:
+        raise RuntimeError("calculator rate-vector length does not match "
+                           "the active network")
+    u = jnp.asarray(result.u, jnp.float64)
+
+    # f64 Jacobian and rates straight from the numeric network model
+    J = np.asarray(net.jac(u, k), dtype=np.float64)          # (ns, ns)
+    r = np.asarray(net.rates(u, k), dtype=np.float64)        # (nr,)
+    Nmat = np.asarray(net.N, dtype=np.float64)                # (nr, ns)
+    B = (Nmat * r[:, None]).T                                 # (ns, nr)
+
+    # linear invariants: c with N c = 0 (=> c . f == 0 for every rate)
+    _, s, vt = np.linalg.svd(Nmat, full_matrices=True)
+    rank = int((s > s.max() * max(Nmat.shape) * np.finfo(float).eps).sum()) \
+        if s.size else 0
+    L = vt[rank:]                                             # (n_inv, ns)
+
+    alpha = max(1.0, float(np.linalg.norm(J)))
+    A = np.vstack([J, alpha * L])
+    rhs = np.vstack([-B, np.zeros((L.shape[0], B.shape[1]))])
+    S, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    return S

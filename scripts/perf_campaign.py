@@ -1,0 +1,96 @@
+"""One-command TPU perf campaign (VERDICT r2 #5): run the bench across
+the prepared ablation knobs with per-config subprocess isolation, so a
+worker crash or backend outage costs one config, not the campaign.
+
+Each config runs `bench.py` (which itself probes the backend, retries,
+and always emits one JSON line) in its own process with a hard timeout;
+results append to scripts/perf_campaign_results.jsonl as they land.
+
+Usage (on TPU):  python scripts/perf_campaign.py [--quick]
+  --quick: only the headline config + the two most promising ablations.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "scripts", "perf_campaign_results.jsonl")
+TIMEOUT = float(os.environ.get("KINETICA_CAMPAIGN_TIMEOUT", "2700"))
+
+# name -> env overrides on top of the bench defaults (NC=24, B=64)
+CONFIGS = {
+    # the headline number (r2 claim to confirm: ~0.175-0.19 s/profile)
+    "default": {},
+    # all chunks in ONE device dispatch: removes the ~1 s/sweep of
+    # per-chunk dispatch overhead if the runtime is not already hiding it
+    "scan_dispatch": {"KINETICA_BENCH_CHUNK_MODE": "scan"},
+    # halve the chained RHS kernel launches (9 -> 5 per eval at nr=1095)
+    "dd_chunk_256": {"KINETICA_DD_CHUNK": "256"},
+    # both
+    "scan_dd256": {"KINETICA_BENCH_CHUNK_MODE": "scan",
+                   "KINETICA_DD_CHUNK": "256"},
+    # fused Newton solve (won ~8% on torture, lost ~10% on bench in r2 —
+    # re-measure on top of the other wins)
+    "inv_fused": {"KINETICA_BENCH_LINSOLVE": "inv_fused"},
+    # smaller-scale reference point (r2: 0.115 s/profile, ~700-870x)
+    "nc16": {"KINETICA_BENCH_NC": "16"},
+    # wider sweep at the headline scale
+    "b256": {"KINETICA_BENCH_BATCH": "256"},
+}
+QUICK = ["default", "scan_dispatch", "dd_chunk_256"]
+
+
+def run_config(name, overrides):
+    env = dict(os.environ)
+    env.update(overrides)
+    t0 = time.time()
+    try:
+        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           capture_output=True, text=True, timeout=TIMEOUT,
+                           env=env)
+        line = (r.stdout or "").strip().splitlines()
+        parsed = json.loads(line[-1]) if line else None
+        stderr_tail = "\n".join((r.stderr or "").splitlines()[-6:])
+    except subprocess.TimeoutExpired:
+        parsed, stderr_tail = None, f"TIMEOUT after {TIMEOUT:.0f}s"
+    except Exception as exc:  # pragma: no cover
+        parsed, stderr_tail = None, f"{type(exc).__name__}: {exc}"
+    rec = {"config": name, "overrides": overrides,
+           "wall_s": round(time.time() - t0, 1),
+           "result": parsed, "stderr_tail": stderr_tail}
+    with open(RESULTS, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    extra = (parsed or {}).get("extra", {})
+    print(f"[{name}] {rec['wall_s']}s -> "
+          f"{(parsed or {}).get('value')}x, "
+          f"{extra.get('per_profile_ms')} ms/profile, "
+          f"{extra.get('ms_per_step')} ms/step "
+          f"({'ERR: ' + (parsed or {}).get('error', '') if (parsed or {}).get('error') else 'ok'})",
+          flush=True)
+    return rec
+
+
+def main():
+    names = QUICK if "--quick" in sys.argv else list(CONFIGS)
+    done = set()
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            for ln in fh:
+                try:
+                    rec = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("result") and not rec["result"].get("error"):
+                    done.add(rec["config"])
+    for name in names:
+        if name in done:
+            print(f"[{name}] already measured — skipping (delete "
+                  f"{RESULTS} to re-run)", flush=True)
+            continue
+        run_config(name, CONFIGS[name])
+
+
+if __name__ == "__main__":
+    main()

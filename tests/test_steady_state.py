@@ -109,3 +109,78 @@ def test_ensemble_rejects_variable_members():
                                                     X_end=600.0)})]
     with pytest.raises(TypeError, match="static"):
         find_steady_state_ensemble(method, sd, rd, bad)
+
+
+class TestSteadyStateSensitivities:
+    """Exact IFT sensitivities S = du*/d ln k (steady_state.py)."""
+
+    def test_isomerisation_analytic(self):
+        """A <=> B: u*_B = k_f/(k_f+k_r), so du*_B/d ln k_f =
+        k_f k_r/(k_f+k_r)^2 analytically."""
+        from kinetica_tpu import constants
+        from kinetica_tpu.solving.steady_state import \
+            steady_state_sensitivities
+        sd = SpeciesData(["C=CC=C", "C#CCC"])
+        rd = RxData.from_reactions(sd, [["C=CC=C"], ["C#CCC"]],
+                                   [["C#CCC"], ["C=CC=C"]])
+        kf, kr = 3.0, 1.0
+        A = np.array([kf, kr]) / constants.N_A
+        calc = PrecalculatedArrheniusCalculator(np.zeros(2), A)
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"C=CC=C": 1.0},
+                                   low_k_cutoff="none")
+        method = StaticODESolve(pars, ConditionSet({"T": 500.0}), calc)
+        S = steady_state_sensitivities(method, sd, rd)
+        iA, iB = sd.toInt["C=CC=C"], sd.toInt["C#CCC"]
+        expect = kf * kr / (kf + kr) ** 2          # = 3/16
+        np.testing.assert_allclose(S[iB, 0], expect, rtol=1e-6)
+        np.testing.assert_allclose(S[iA, 0], -expect, rtol=1e-6)
+        np.testing.assert_allclose(S[iB, 1], -expect, rtol=1e-6)
+        # conservation: sensitivities cannot move the conserved total
+        np.testing.assert_allclose(S.sum(axis=0), 0.0, atol=1e-12)
+
+    def test_interior_equilibrium_fd_validation(self):
+        """FD cross-check on a nonlinear CRN with an INTERIOR fixed point
+        (the synthetic pyrolysis CRN equilibrates at total decomposition,
+        where du*/dk is genuinely ~0): three C4H6 isomers coupled by two
+        reversible isomerisations plus a reversible bimolecular
+        disproportionation 2B <=> A + C. Re-find the steady state with
+        each rate scaled by e^h and compare the difference quotient."""
+        from kinetica_tpu import constants
+        from kinetica_tpu.solving.steady_state import (
+            find_steady_state, steady_state_sensitivities)
+        A_s, B_s, C_s = "C=CC=C", "C#CCC", "C1CC=1C"
+        sd = SpeciesData([A_s, B_s, C_s])
+        rd = RxData.from_reactions(
+            sd,
+            reacs=[[A_s], [B_s], [B_s], [C_s], [B_s, B_s], [A_s, C_s]],
+            prods=[[B_s], [A_s], [C_s], [B_s], [A_s, C_s], [B_s, B_s]])
+        A0 = np.array([2.0, 1.0, 1.5, 0.5, 0.8, 0.6]) / constants.N_A
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={A_s: 1.0},
+                                   low_k_cutoff="none")
+        conds = ConditionSet({"T": 500.0})
+
+        def solve_with(A_vec):
+            calc = PrecalculatedArrheniusCalculator(np.zeros(6), A_vec)
+            method = StaticODESolve(pars, conds, calc)
+            return method, find_steady_state(method, sd, rd, t_first=0.01,
+                                             move_tol=1e-4)
+
+        method0, res0 = solve_with(A0)
+        assert res0.converged
+        S = steady_state_sensitivities(method0, sd, rd, result=res0)
+        assert S.shape == (sd.n, rd.nr)
+        assert np.abs(S).max() > 1e-3          # genuinely sensitive
+        # conservation: total C4H6 units cannot move
+        np.testing.assert_allclose(S.sum(axis=0), 0.0, atol=1e-10)
+
+        h = 1e-4
+        for j in range(rd.nr):
+            A2 = A0.copy()
+            A2[j] *= np.exp(h)
+            _, res2 = solve_with(A2)
+            assert res2.converged
+            fd = (res2.u - res0.u) / h
+            np.testing.assert_allclose(
+                S[:, j], fd, rtol=0.05,
+                atol=5e-3 * max(np.abs(S[:, j]).max(), 1e-12),
+                err_msg=f"reaction {j}")
