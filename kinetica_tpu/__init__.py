@@ -59,6 +59,7 @@ def __getattr__(name):
         "save_sensitivities": "kinetica_tpu.solving.sensitivity",
         "load_sensitivities": "kinetica_tpu.solving.sensitivity",
         "solve_network_ensemble": "kinetica_tpu.parallel.batching",
+        "solve_adjoint_gradient": "kinetica_tpu.solving.adjoint",
         "find_steady_state": "kinetica_tpu.solving.steady_state",
         "find_steady_state_ensemble": "kinetica_tpu.solving.steady_state",
         "steady_state_sensitivities": "kinetica_tpu.solving.steady_state",
