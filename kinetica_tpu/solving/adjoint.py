@@ -1,6 +1,6 @@
 """Reverse-mode (adjoint) objective gradients through the stiff solve.
 
-Computes ``grad[j] = d( w . u(T) ) / d ln k_j`` with ONE backward stiff
+Computes ``grad[j] = d g(u(T)) / d ln k_j`` with ONE backward stiff
 solve, independent of the number of reactions — the reverse-mode
 complement of :mod:`~kinetica_tpu.solving.sensitivity` (which integrates
 one tangent system per reaction and scales O(nr)). For parameter
@@ -9,23 +9,38 @@ the only tractable gradient.
 
 Method (continuous adjoint, CVODES-style):
 
-1. Forward solve on a dense uniform grid; store ``u_i`` and ``f(u_i)``.
-2. Reconstruct ``u(t)`` between nodes by cubic Hermite interpolation
-   (C^1, O(h^4) — both value and slope are solver-accurate at nodes).
+1. Forward solve storing ``u`` and ``f(u)`` on an ENDPOINT-GRADED grid —
+   geometric stacks resolving 10 decades of boundary layer at both ends
+   (stiff CRNs equilibrate radicals within ~1/|J| ~ 1e-12 of t=0, and
+   the adjoint has the mirror layer at t=T; a uniform grid weights the
+   huge layer rates by the full panel width and the gradient blows up
+   by orders of magnitude — measured 2000x on a perturbed
+   getting-started fit). The solver's per-step dense output makes the
+   stored values accurate at any node.
+2. Reconstruct ``u(t)`` (and later ``lambda(t)``) between nodes by
+   cubic Hermite interpolation — C^1, with solver-accurate slopes.
 3. Integrate the adjoint ODE ``lambda' = -J(u(t))^T lambda`` backwards
-   from ``lambda(T) = w`` with the SAME production BDF integrator (the
-   adjoint system inherits the forward stiffness; in reversed time
-   ``s = T - t`` it is ``mu' = +J^T mu``).
+   from ``lambda(T) = dg/du(T)`` with the SAME production BDF
+   integrator (in reversed time ``s = T - t`` it is ``mu' = +J^T mu``);
+   the terminal condition is unit-normalised (the adjoint is linear)
+   so fixed tolerances are objective-scale-free.
 4. Accumulate ``grad_j = int_0^T lambda . (N_j r_j(u(t))) dt`` by
-   composite Simpson over the shared grid (``df/d ln k_j = N_j^T r_j``
-   for mass action).
+   panel quadrature of the NODAL integrand over the graded grid — the
+   exponential rule on sign-constant geometric panels (exact for pure
+   decay, the layer behaviour), trapezoid elsewhere. Interpolating
+   lambda polynomially is NOT an option: its Hermite slopes reach
+   |J| * |lambda| in the layer and overshoot by orders of magnitude.
 
-Accuracy is set by the grid (interpolation + quadrature, both O(h^4))
-on top of the solver tolerances; validated against finite-difference
-re-solves in tests/test_adjoint.py. v1 scope: static conditions and a
-single time segment (moderate horizons — chunkwise time is not needed
-below ~1e3 s); no reference equivalent (Kinetica.jl has no derivatives
-at all).
+Accuracy is set by the grid + solver tolerances; validated against the
+forward-sensitivity module in tests/test_adjoint.py. Conditioning
+caveat (applies to EVERY derivative method, not just this one): the
+state is known only to the solve tolerances, so an objective whose
+``|dg/du| * abstol`` approaches the objective scale — e.g. relative
+residuals on near-zero concentrations — has a solver-noise-dominated
+gradient; keep terminal weights bounded (floor residual scales well
+above abstol). v1 scope: static conditions and a single time segment
+(moderate horizons — chunkwise time is not needed below ~1e3 s); no
+reference equivalent (Kinetica.jl has no derivatives).
 """
 from __future__ import annotations
 
@@ -36,45 +51,54 @@ import numpy as np
 from ..utils.logging import logger
 
 
-def _hermite_interpolant(grid, us, fs):
-    """C^1 cubic Hermite u(t) over a UNIFORM grid from nodal values and
-    slopes; traceable (used inside the backward RHS)."""
-    h = grid[1] - grid[0]
+def _graded_grid(T: float, n_nodes: int) -> np.ndarray:
+    """Endpoint-clustered node set on [0, T]: geometric stacks spanning
+    relative scales 1e-12..0.4 at both ends (12 decades of boundary
+    layer, ~n/3 nodes per stack bounds the per-panel decay ratio for
+    the trapezoid quadrature) + a uniform interior."""
+    n_geo = max(n_nodes // 3, 24)
+    n_mid = max(n_nodes - 2 * n_geo, 9)
+    left = np.geomspace(1e-12, 0.4, n_geo)
+    mid = np.linspace(0.4, 0.6, n_mid)
+    pts = np.unique(np.concatenate(
+        [[0.0], left, mid, 1.0 - left[::-1], [1.0]]))
+    return T * pts
+
+
+def _hermite_interpolant(grid, vals, slopes):
+    """C^1 cubic Hermite over a (possibly non-uniform) grid from nodal
+    values and slopes; traceable (used inside the backward RHS)."""
     n = grid.shape[0]
 
-    def u_of_t(t):
-        x = (t - grid[0]) / h
-        i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
-        th = x - i.astype(x.dtype)
+    def of_t(t):
+        i = jnp.clip(jnp.searchsorted(grid, t, side="right") - 1, 0, n - 2)
+        h = grid[i + 1] - grid[i]
+        th = (t - grid[i]) / h
         h00 = (1.0 + 2.0 * th) * (1.0 - th) ** 2
         h10 = th * (1.0 - th) ** 2
         h01 = th ** 2 * (3.0 - 2.0 * th)
         h11 = th ** 2 * (th - 1.0)
-        return (h00 * us[i] + (h * h10) * fs[i]
-                + h01 * us[i + 1] + (h * h11) * fs[i + 1])
+        return (h00 * vals[i] + (h * h10) * slopes[i]
+                + h01 * vals[i + 1] + (h * h11) * slopes[i + 1])
 
-    return u_of_t
-
-
-def _simpson(values, h):
-    """Composite Simpson over axis 0 (odd node count, uniform spacing)."""
-    n = values.shape[0]
-    w = np.ones(n)
-    w[1:-1:2] = 4.0
-    w[2:-1:2] = 2.0
-    return (h / 3.0) * jnp.tensordot(jnp.asarray(w, values.dtype), values,
-                                     axes=(0, 0))
+    return of_t
 
 
-def solve_adjoint_gradient(method, sd, rd, weights, n_nodes: int = 257,
-                           copy_network: bool = True):
-    """Gradient of ``g = weights . u(T)`` w.r.t. every ``ln k_j``.
+
+
+def solve_adjoint_gradient(method, sd, rd, weights=None, objective=None,
+                           n_nodes: int = 257, copy_network: bool = True):
+    """Gradient of a terminal objective w.r.t. every ``ln k_j``.
+
+    The objective is either linear — ``g = weights . u(T)`` with a
+    (ns,) ``weights`` vector (e.g. a one-hot species selector) — or an
+    arbitrary differentiable scalar ``objective(u_T)`` (e.g. a
+    least-squares data misfit for parameter estimation); its terminal
+    gradient ``dg/du(T)`` seeds the adjoint via ``jax.grad``.
 
     ``method`` must be a :class:`~kinetica_tpu.solving.methods
-    .StaticODESolve` (v1 scope: time-invariant k). ``weights`` is the
-    (ns,)-vector defining the scalar objective — e.g. a one-hot species
-    selector for "final concentration of X". ``n_nodes`` (odd) sets the
-    shared forward-storage / quadrature grid.
+    .StaticODESolve` (v1 scope: time-invariant k). ``n_nodes`` sets the
+    graded forward-storage / quadrature grid size.
 
     Returns ``(grad, g)``: the (nr,) gradient in the ACTIVE (filtered)
     network's reaction order, and the objective value.
@@ -86,8 +110,11 @@ def solve_adjoint_gradient(method, sd, rd, weights, n_nodes: int = 257,
     if not isinstance(method, StaticODESolve):
         raise TypeError("solve_adjoint_gradient requires a StaticODESolve "
                         "(v1 supports time-invariant rate constants)")
-    if n_nodes % 2 == 0 or n_nodes < 5:
-        raise ValueError("n_nodes must be odd and >= 5 (composite Simpson)")
+    if (weights is None) == (objective is None):
+        raise ValueError("pass exactly one of weights / objective")
+    if n_nodes < 64:
+        raise ValueError("n_nodes must be >= 64 (graded grid needs both "
+                         "endpoint stacks + interior)")
 
     integ = solve_network(method, sd, rd, copy_network=copy_network,
                           return_integrator=True)
@@ -98,14 +125,15 @@ def solve_adjoint_gradient(method, sd, rd, weights, n_nodes: int = 257,
     if k.shape[0] != net.nr:
         raise RuntimeError("calculator rate-vector length does not match "
                            "the active network")
-    w = jnp.asarray(weights, jnp.float64)
-    if w.shape != (net.ns,):
-        raise ValueError(f"weights must have shape ({net.ns},)")
+    if weights is not None:
+        w0 = jnp.asarray(weights, jnp.float64)
+        if w0.shape != (net.ns,):
+            raise ValueError(f"weights must have shape ({net.ns},)")
 
     T = float(pars.tspan[1] - pars.tspan[0])
-    grid = jnp.linspace(0.0, T, n_nodes)
+    grid = jnp.asarray(_graded_grid(T, n_nodes))
 
-    # ---- forward: dense storage on the grid (u exact at t=0) ----
+    # ---- forward: dense storage on the graded grid (u exact at t=0) ----
     res_f = integ.solve_segment(0.0, T, saveat=grid[1:])
     if int(np.asarray(res_f.status)) != bdf.DONE:
         raise RuntimeError(f"forward solve failed "
@@ -114,9 +142,22 @@ def solve_adjoint_gradient(method, sd, rd, weights, n_nodes: int = 257,
     us = jnp.concatenate([u0[None], res_f.ys.astype(jnp.float64)])
     fs = jax.vmap(lambda u: net.rhs(u, k))(us)
     u_of_t = _hermite_interpolant(grid, us, fs)
-    g = float(w @ us[-1])
+    if weights is not None:
+        w = w0
+        g = float(w @ us[-1])
+    else:
+        g = float(objective(us[-1]))
+        w = jnp.asarray(jax.grad(objective)(us[-1]), jnp.float64)
 
     # ---- backward: mu(s) = lambda(T - s), mu' = +J(u(T-s))^T mu ----
+    # LINEAR ODE: solve with the terminal condition normalised to unit
+    # infinity-norm (objective-scale-free tolerances), rescale after.
+    w_scale = float(jnp.max(jnp.abs(w)))
+    if w_scale == 0.0:
+        return np.zeros(net.nr), g
+    w_hat = w / w_scale
+    s_grid = (T - grid)[::-1]                  # graded s-nodes, increasing
+
     def rhs_b(s, mu, kk):
         return net.jac(u_of_t(T - s), kk).T @ mu
 
@@ -124,8 +165,8 @@ def solve_adjoint_gradient(method, sd, rd, weights, n_nodes: int = 257,
         return net.jac(u_of_t(T - s), kk).T
 
     res_b = bdf.bdf_solve(
-        rhs_b, jac_b, w, 0.0, T, grid[1:],
-        rtol=pars.reltol, atol=pars.abstol,
+        rhs_b, jac_b, w_hat, 0.0, T, s_grid[1:],
+        rtol=1e-7, atol=1e-10,
         max_steps=int(pars.maxiters),
         nonnegative=False, nonnegative_project=False,
         lu_precision=pars.lu_precision,
@@ -135,15 +176,31 @@ def solve_adjoint_gradient(method, sd, rd, weights, n_nodes: int = 257,
     if int(np.asarray(res_b.status)) != bdf.DONE:
         raise RuntimeError(f"adjoint solve failed "
                            f"(status {int(np.asarray(res_b.status))})")
-    mus = jnp.concatenate([w[None], res_b.ys.astype(jnp.float64)])
-    lambdas = mus[::-1]                       # lambda(t_i) = mu(T - t_i)
+    mus = jnp.concatenate([w_hat[None], res_b.ys.astype(jnp.float64)])
+    lams = mus[::-1] * w_scale                 # lambda at the t-grid nodes
 
-    # ---- quadrature: grad_j = int lambda . (N_j r_j) dt ----
-    def integrand(u, lam):
-        return net.rates(u, k) * (net.N @ lam)
-
-    Q = jax.vmap(integrand)(us, lambdas)      # (n_nodes, nr)
-    grad = np.asarray(_simpson(Q, T / (n_nodes - 1)))
+    # ---- panel quadrature of the NODAL integrand over the graded grid.
+    # No interpolation here: lambda decays through many decades within
+    # its boundary layer at t -> T, where Hermite slopes reach
+    # ~|J| * |lambda| and any polynomial reconstruction overshoots by
+    # orders of magnitude inside tail panels (measured a 1e6-overstated
+    # gradient through a Gauss-on-Hermite variant). Panels where the
+    # integrand keeps its sign and varies geometrically use the
+    # EXPONENTIAL rule  int ~ h (q1 - q0) / ln(q1/q0)  — exact for pure
+    # exponential decay, which is precisely the layer behaviour; other
+    # panels fall back to the trapezoid.
+    Q = jax.vmap(lambda u, lam: net.rates(u, k) * (net.N @ lam))(us, lams)
+    h_panel = (grid[1:] - grid[:-1])[:, None]
+    q0, q1 = Q[:-1], Q[1:]
+    tiny = jnp.finfo(jnp.float64).tiny
+    logr = jnp.log(jnp.maximum(jnp.abs(q1), tiny)) \
+        - jnp.log(jnp.maximum(jnp.abs(q0), tiny))
+    expo_ok = (q0 * q1 > 0.0) & (jnp.abs(logr) > 1e-3)
+    panel = jnp.where(expo_ok,
+                      h_panel * (q1 - q0)
+                      / jnp.where(expo_ok, logr, 1.0),
+                      0.5 * h_panel * (q0 + q1))
+    grad = np.asarray(jnp.sum(panel, axis=0))
     logger.info(" - adjoint gradient: |grad|_max = %.3e at g = %.6g",
                 float(np.abs(grad).max()), g)
     return grad, g

@@ -73,7 +73,7 @@ def test_rejects_variable_conditions():
 
 @pytest.mark.skipif(not os.path.isfile(BSON),
                     reason="reference bson asset unavailable")
-def test_rejects_even_nodes():
+def test_rejects_tiny_grids():
     sd, rd, method = _getting_started_static(tf=0.05)
-    with pytest.raises(ValueError, match="odd"):
+    with pytest.raises(ValueError, match="n_nodes"):
         solve_adjoint_gradient(method, sd, rd, np.zeros(sd.n), n_nodes=10)
