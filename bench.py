@@ -148,9 +148,17 @@ def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
     prof = conditions.get_profile("T")
     Ea_np, A_np = np.asarray(calc.Ea), np.asarray(calc.A)
     k_max = calc.k_max
+    # Pure-numpy profile evaluation. Going through prof.value(t) (jnp) put
+    # a device dispatch inside every scipy RHS call — on the r1/r2 bench,
+    # where this process had the remote TPU registered, that inflated the
+    # "CPU baseline" ~13x (64-98 s measured vs 5.6 s true). The baseline
+    # must never touch jax.
+    t_ramp_end = float(prof.t_end)
+    T0, T_rate, T_end = (float(prof.X_start), float(prof.rate),
+                         float(prof.X_end))
 
     def k_of_t(t):
-        T = float(np.asarray(prof.value(t)))
+        T = T0 + T_rate * t if t <= t_ramp_end else T_end
         k = A_np * np.exp(-Ea_np / (constants.R * T)) * constants.N_A
         if k_max is not None:
             k = 1.0 / (1.0 / k_max + 1.0 / k)

@@ -92,6 +92,12 @@ class BDFResults(NamedTuple):
     n_fev: jnp.ndarray
     n_jev: jnp.ndarray
     n_lu: jnp.ndarray
+    # Final difference array + equal-step counter: together with (h, order)
+    # these form the warm-start carry for seamless chunkwise continuation
+    # (pass as ``warm_start=(D, order, n_equal_steps)`` with
+    # ``first_step=h`` to the next segment's bdf_solve).
+    D: jnp.ndarray = None
+    n_equal_steps: jnp.ndarray = None
 
 
 def time_dtype(state_dtype):
@@ -214,6 +220,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               jac_policy: str = "lazy",
               lu_drift_tol: float = 0.1,
               prepare: Callable | None = None,
+              warm_start=None,
               args=None) -> BDFResults:
     """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to tf with BDF(1-5).
 
@@ -232,6 +239,18 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
       nonnegative_project: clamp accepted states onto u >= 0 (tolerance-
         level projection; see the accept-path comment). Off by default —
         this is a generic integrator; the kinetics call sites enable it.
+      warm_start: optional traced ``(D, order, n_equal_steps)`` carry from a
+        previous segment's BDFResults. When ``order >= 1`` AND ``first_step``
+        is a valid (finite, positive) carried h, integration RESUMES the
+        previous segment's method state — difference array, order, step-
+        equality counter — instead of restarting at order 1, eliminating the
+        per-chunk order ramp-up that a cold chunkwise restart pays (~30% of
+        all steps on a 28-chunk production sweep; the reference's reinit!
+        resets this state, methods.jl:819, so this is strictly better than
+        parity). The carried D is rescaled by ``_change_D`` when the chunk
+        window clamps the first step below the carried h. Lanes whose carry
+        is invalid (first chunk: order 0 / NaN h) fall back to the cold
+        start, so one compiled program serves both cases.
       prepare: optional ``(t_stage, t_step_start, args) -> pre`` hook
         computing the step-invariant part of the model (for kinetics: the
         rate-constant vector k). BDF has a single implicit stage, so
@@ -310,6 +329,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     pre0 = _prep(t0, t0)
     f0 = rhs(t0, y0, pre0)
     if first_step is None:
+        fs_ok = jnp.asarray(False)
+        fs = jnp.asarray(jnp.nan, tdtype)
         h_init = select_initial_step(lambda t, y: rhs(t, y, pre0), t0, y0, f0,
                                      tf, rtol, atol)
     else:
@@ -319,12 +340,34 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         fs = jnp.asarray(first_step, tdtype)
         h_auto = select_initial_step(lambda t, y: rhs(t, y, pre0), t0, y0, f0,
                                      tf, rtol, atol)
-        ok = jnp.isfinite(fs) & (fs > 0.0)
-        h_init = jnp.where(ok, jnp.minimum(fs, jnp.abs(tf - t0)), h_auto)
+        fs_ok = jnp.isfinite(fs) & (fs > 0.0)
+        h_init = jnp.where(fs_ok, jnp.minimum(fs, jnp.abs(tf - t0)), h_auto)
     h_init = jnp.asarray(h_init, tdtype)
 
     D0 = jnp.zeros((MAX_ORDER + 3, ns), dtype)
     D0 = D0.at[0].set(y0).at[1].set(f0 * h_init.astype(dtype))
+    order0 = jnp.asarray(1, jnp.int32)
+    neq0 = jnp.asarray(0, jnp.int32)
+    if warm_start is not None:
+        # Resume the previous segment's method state (see docstring). The
+        # cold D0/h_init above remain the fallback for invalid carries
+        # (first chunk, or a lane whose previous chunk failed).
+        D_w, order_w, neq_w = warm_start
+        D_w = jnp.asarray(D_w, dtype)
+        order_w = jnp.asarray(order_w, jnp.int32)
+        warm_ok = fs_ok & (order_w >= 1)
+        # The chunk window clamps h_init to (tf - t0); the carried D is
+        # scaled for steps of the carried h — rescale to the actual start
+        # h (factor 1 when no clamp applied).
+        rescale = jnp.where(warm_ok, h_init / jnp.where(fs_ok, fs, h_init),
+                            1.0)
+        D_w = _change_D(D_w, jnp.maximum(order_w, 1), rescale)
+        # Row 0 must be the caller's y0 exactly (accepted-state projection
+        # or caller-side edits between chunks land in y0, not in the carry).
+        D_w = D_w.at[0].set(y0)
+        D0 = jnp.where(warm_ok, D_w, D0)
+        order0 = jnp.where(warm_ok, order_w, order0)
+        neq0 = jnp.where(warm_ok, jnp.asarray(neq_w, jnp.int32), neq0)
 
     # "full" keeps the LU in the solve dtype; TPU XLA implements
     # LuDecomposition only in F32, so full-precision LU is CPU-only and is
@@ -365,7 +408,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                                  ).at[:ns, :ns].set(Jr)
 
     J0 = jac(t0, y0, pre0)
-    c0 = h_init / alpha_t[1]
+    c0 = h_init / alpha_t[order0]
     fact0 = newton_factor(J0, c0.astype(dtype), lu_dtype, method=linsolve)
     lu0, piv0 = fact0.lu, fact0.piv
 
@@ -374,8 +417,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     save_ptr0 = jnp.searchsorted(saveat, t0, side="right")
 
     state0 = BDFState(
-        t=t0, h=h_init, order=jnp.asarray(1, jnp.int32), D=D0,
-        n_equal_steps=jnp.asarray(0, jnp.int32),
+        t=t0, h=h_init, order=order0, D=D0,
+        n_equal_steps=neq0,
         lu=lu0, piv=piv0, J=J0,
         current_jac=jnp.asarray(True), c_lu=c0,
         status=jnp.asarray(RUNNING, jnp.int32),
@@ -825,4 +868,5 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         h=final.h, order=final.order,
         n_steps=final.n_steps, n_accepted=final.n_accepted,
         n_rejected=final.n_rejected, n_fev=final.n_fev,
-        n_jev=final.n_jev, n_lu=final.n_lu)
+        n_jev=final.n_jev, n_lu=final.n_lu,
+        D=final.D, n_equal_steps=final.n_equal_steps)

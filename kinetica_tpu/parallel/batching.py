@@ -265,14 +265,14 @@ class EnsembleProblem:
 
         self._chunk_fn = jax.jit(
             jax.vmap(member_chunk,
-                     in_axes=(0, 0, payload_axes, stops_axes, None,
+                     in_axes=(0, 0, 0, payload_axes, stops_axes, None,
                               0, 0)))
 
         # stops rows are per-chunk: slice axis 0 (discrete/shared) or
         # axis 1 (continuous/per-member) when grouping
         self._group_fn = jax.jit(
             jax.vmap(member_group,
-                     in_axes=(0, 0, payload_axes,
+                     in_axes=(0, 0, 0, payload_axes,
                               None if stops_axes is None else 0,
                               None, 0, 0)))
 
@@ -292,34 +292,12 @@ class EnsembleProblem:
         chunkstep = self.chunkstep
         saveat_j = self._saveat_j
         chunk_ids = self._chunk_ids
+        use_warm = getattr(pars_ref, "chunk_warm_start", True)
 
-        def member(u0, payload, stops_rows, abstol, reltol):
-            def body(carry, xs):
-                u, worst, h_prev = carry
-                nc, stops_row = xs
-                res = bdf.bdf_solve(
-                    rhs, jac, u, 0.0, chunkstep, saveat_j,
-                    rtol=reltol, atol=abstol, stops=stops_row,
-                    max_steps=int(pars_ref.maxiters),
-                    nonnegative=pars_ref.ban_negatives,
-                    nonnegative_project=pars_ref.project_negatives,
-                    lu_precision=pars_ref.lu_precision,
-                    linsolve=getattr(pars_ref, "linsolve", "auto"),
-                    lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
-                    first_step=h_prev, prepare=prepare,
-                    args=(nc * chunkstep, payload))
-                return (res.y_final, jnp.minimum(worst, res.status),
-                        res.h), (res.ys, res.n_steps)
-
-            (_, worst, _), (ys, steps) = jax.lax.scan(
-                body, (u0, jnp.asarray(bdf.DONE, jnp.int32),
-                       jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))),
-                (chunk_ids, stops_rows))
-            return worst, ys, jnp.sum(steps)
-
-        def member_chunk(u0, h_prev, payload, stops_row, nc, abstol, reltol):
+        def _segment(u, h_prev, warm, payload, stops_row, nc, abstol, reltol):
+            """One chunk's bdf_solve with the (h, BDF-state) carry."""
             res = bdf.bdf_solve(
-                rhs, jac, u0, 0.0, chunkstep, saveat_j,
+                rhs, jac, u, 0.0, chunkstep, saveat_j,
                 rtol=reltol, atol=abstol, stops=stops_row,
                 max_steps=int(pars_ref.maxiters),
                 nonnegative=pars_ref.ban_negatives,
@@ -328,33 +306,61 @@ class EnsembleProblem:
                 linsolve=getattr(pars_ref, "linsolve", "auto"),
                 lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
                 first_step=h_prev, prepare=prepare,
+                warm_start=warm if use_warm else None,
                 args=(nc * chunkstep, payload))
-            return res.y_final, res.h, res.status, res.ys, res.n_steps
+            warm_next = ((res.D, res.order, res.n_equal_steps) if use_warm
+                         else warm)
+            return res, warm_next
 
-        def member_group(u0, h0, payload, stops_rows, ncs, abstol, reltol):
+        def _warm0(u0):
+            return (jnp.zeros((bdf.MAX_ORDER + 3, u0.shape[0]), u0.dtype),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+
+        def member(u0, payload, stops_rows, abstol, reltol):
             def body(carry, xs):
-                u, worst, h_prev = carry
+                u, worst, h_prev, warm = carry
                 nc, stops_row = xs
-                res = bdf.bdf_solve(
-                    rhs, jac, u, 0.0, chunkstep, saveat_j,
-                    rtol=reltol, atol=abstol, stops=stops_row,
-                    max_steps=int(pars_ref.maxiters),
-                    nonnegative=pars_ref.ban_negatives,
-                    nonnegative_project=pars_ref.project_negatives,
-                    lu_precision=pars_ref.lu_precision,
-                    linsolve=getattr(pars_ref, "linsolve", "auto"),
-                    lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
-                    first_step=h_prev, prepare=prepare,
-                    args=(nc * chunkstep, payload))
+                res, warm = _segment(u, h_prev, warm, payload, stops_row,
+                                     nc, abstol, reltol)
                 return (res.y_final, jnp.minimum(worst, res.status),
-                        res.h), (res.ys, res.n_steps)
+                        res.h, warm), (res.ys, res.n_steps)
 
-            (u_f, worst, h_f), (ys, steps) = jax.lax.scan(
-                body, (u0, jnp.asarray(bdf.DONE, jnp.int32), h0),
+            (_, worst, _, _), (ys, steps) = jax.lax.scan(
+                body, (u0, jnp.asarray(bdf.DONE, jnp.int32),
+                       jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype)),
+                       _warm0(u0)),
+                (chunk_ids, stops_rows))
+            return worst, ys, jnp.sum(steps)
+
+        def member_chunk(u0, h_prev, warm, payload, stops_row, nc, abstol,
+                         reltol):
+            res, warm = _segment(u0, h_prev, warm, payload, stops_row, nc,
+                                 abstol, reltol)
+            return res.y_final, res.h, warm, res.status, res.ys, res.n_steps
+
+        def member_group(u0, h0, warm0, payload, stops_rows, ncs, abstol,
+                         reltol):
+            def body(carry, xs):
+                u, worst, h_prev, warm = carry
+                nc, stops_row = xs
+                res, warm = _segment(u, h_prev, warm, payload, stops_row,
+                                     nc, abstol, reltol)
+                return (res.y_final, jnp.minimum(worst, res.status),
+                        res.h, warm), (res.ys, res.n_steps)
+
+            (u_f, worst, h_f, warm_f), (ys, steps) = jax.lax.scan(
+                body, (u0, jnp.asarray(bdf.DONE, jnp.int32), h0, warm0),
                 (ncs, stops_rows))
-            return u_f, h_f, worst, ys, jnp.sum(steps)
+            return u_f, h_f, warm_f, worst, ys, jnp.sum(steps)
 
         return member, member_chunk, member_group
+
+    @staticmethod
+    def _warm0_batched(u0s_j):
+        """Cold (order-0) warm-start carry for a (B, ns) state batch."""
+        B, ns = u0s_j.shape
+        return (jnp.zeros((B, bdf.MAX_ORDER + 3, ns), u0s_j.dtype),
+                jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
 
     @staticmethod
     def _will_use_pallas(pars) -> bool:
@@ -577,13 +583,14 @@ class EnsembleProblem:
         if self.chunk_mode == "host":
             u = u0s_j
             h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
+            warm = self._warm0_batched(u0s_j)
             worst = None
             ys_chunks = []
             for nc in range(self.n_chunks):
                 row = (stops_rows[nc] if self.rate_mode == "discrete"
                        else stops_rows[:, nc])
-                u, h, status, ys_c, st_c = self._chunk_fn(
-                    u, h, payload, row,
+                u, h, warm, status, ys_c, st_c = self._chunk_fn(
+                    u, h, warm, payload, row,
                     jnp.asarray(float(nc), self.dtype), abstol_j, reltol_j)
                 ys_chunks.append(ys_c)
                 steps = steps + st_c
@@ -598,6 +605,7 @@ class EnsembleProblem:
                                               self.n_chunks)
             u = u0s_j
             h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
+            warm = self._warm0_batched(u0s_j)
             worst = None
             ys_groups = []
             for lo in range(0, self.n_chunks, cpd):
@@ -605,8 +613,8 @@ class EnsembleProblem:
                 ncs = jnp.arange(lo, hi, dtype=self.dtype)
                 rows = (stops_rows[lo:hi] if self.rate_mode == "discrete"
                         else stops_rows[:, lo:hi])
-                u, h, status, ys_g, st_g = self._group_fn(
-                    u, h, payload, rows, ncs, abstol_j, reltol_j)
+                u, h, warm, status, ys_g, st_g = self._group_fn(
+                    u, h, warm, payload, rows, ncs, abstol_j, reltol_j)
                 ys_groups.append(ys_g)   # (B, hi-lo, m, ns)
                 steps = steps + st_g
                 worst = status if worst is None else jnp.minimum(worst, status)

@@ -286,13 +286,17 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
 
 
 def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
-               rtol, atol, stops, args, first_step=None, prepare=None):
+               rtol, atol, stops, args, first_step=None, prepare=None,
+               warm_start=None):
     """Dispatch to the selected on-TPU integrator (pars.solver).
 
     ``first_step`` may be a traced scalar (NaN = auto): the chunkwise
     loops carry the final accepted h into the next chunk, skipping the
     order-1 restart ramp the reference pays at every ``reinit!``
-    (methods.jl:819). The returned dict includes ``h`` for that carry.
+    (methods.jl:819). ``warm_start`` extends that carry to the full BDF
+    method state (difference array, order, equal-step counter) so chunk
+    boundaries cost nothing at all. The returned dict includes ``h`` (and,
+    for BDF, ``warm``) for those carries.
     """
     if pars.solver == "rk45":
         # explicit stages evaluate at distinct times: fold prepare back in
@@ -312,11 +316,12 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
         lu_precision=pars.lu_precision, first_step=first_step,
         linsolve=getattr(pars, "linsolve", "auto"),
         lu_drift_tol=getattr(pars, "lu_drift_tol", 0.1),
-        prepare=prepare, args=args)
+        prepare=prepare, warm_start=warm_start, args=args)
     return res.status, res.ys, res.y_final, {
         "n_steps": res.n_steps, "n_accepted": res.n_accepted,
         "n_rejected": res.n_rejected, "n_fev": res.n_fev,
-        "n_jev": res.n_jev, "n_lu": res.n_lu, "h": res.h}
+        "n_jev": res.n_jev, "n_lu": res.n_lu, "h": res.h,
+        "warm": (res.D, res.order, res.n_equal_steps)}
 
 
 def _make_continuous_k_fn(conditions: ConditionSet, calculator: KineticCalculator):
@@ -425,7 +430,7 @@ def _run_complete(rhs, jac, u0, pars: ODESimulationParams, saveat: np.ndarray,
     status, (ys_dev, st), attempts = _adaptive_device_solve(solve_fn, pars)
     ys = np.concatenate([np.asarray(u0)[None], np.asarray(ys_dev)])
     ts = np.concatenate([[t0], np.asarray(saveat_inner)])
-    stats = {k: int(v) for k, v in st.items()}
+    stats = {k: int(v) for k, v in st.items() if k != "warm"}
     stats["attempts"] = attempts
     return ts, ys, status, stats
 
@@ -453,17 +458,18 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
 
     STAT_KEYS = ("n_steps", "n_accepted", "n_rejected", "n_fev", "n_jev",
                  "n_lu")
+    use_warm = getattr(pars, "chunk_warm_start", True) and pars.solver == "bdf"
 
     @jax.jit
-    def scan_solve(u0, worst0, h0, acc0, chunk_ids, stops_rows, abstol,
+    def scan_solve(u0, worst0, h0, warm0, acc0, chunk_ids, stops_rows, abstol,
                    reltol, payload):
         def body(carry, xs):
-            u, worst, h_prev, acc = carry
+            u, worst, h_prev, warm, acc = carry
             nc, stops_row = xs
             status, ys, y_final, stats = _integrate(
                 pars, rhs, jac, u, 0.0, chunkstep, saveat_j, reltol, abstol,
                 stops_row, (nc * chunkstep, payload), first_step=h_prev,
-                prepare=prepare)
+                prepare=prepare, warm_start=warm if use_warm else None)
             worst = jnp.minimum(worst, status)
             acc = acc + jnp.stack([
                 stats.get(k, jnp.asarray(0, jnp.int32)).astype(jnp.int64)
@@ -472,13 +478,16 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
                 # structured progress (reference uses ProgressLogging bars,
                 # methods.jl:248-254); host callback per chunk
                 jax.debug.callback(_progress_cb, nc, ordered=False)
-            # carry the final accepted h into the next chunk (NaN = auto on
-            # chunk 0) to skip the order-1 restart ramp at every boundary
-            return (y_final, worst, stats["h"], acc), ys
+            # carry the final accepted h — and with chunk_warm_start the
+            # whole BDF method state — into the next chunk (NaN/order-0 =
+            # cold auto-start on chunk 0), so chunk boundaries skip the
+            # order-1 restart ramp entirely
+            warm_next = stats["warm"] if use_warm else warm
+            return (y_final, worst, stats["h"], warm_next, acc), ys
 
-        (u_f, worst, h_f, acc), ys = jax.lax.scan(
-            body, (u0, worst0, h0, acc0), (chunk_ids, stops_rows))
-        return u_f, worst, h_f, acc, ys
+        (u_f, worst, h_f, warm_f, acc), ys = jax.lax.scan(
+            body, (u0, worst0, h0, warm0, acc0), (chunk_ids, stops_rows))
+        return u_f, worst, h_f, warm_f, acc, ys
 
     # Device-dispatch granularity: on CPU the whole chunk loop is one scan;
     # on accelerators it is split into groups of chunks so no single device
@@ -493,13 +502,15 @@ def _run_chunkwise(rhs, jac, u0, pars: ODESimulationParams,
         u = u0
         worst = jnp.asarray(bdf.DONE, jnp.int32)
         h = jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))
+        warm = (jnp.zeros((bdf.MAX_ORDER + 3, u0.shape[0]), u0.dtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         acc = jnp.zeros((len(STAT_KEYS),), jnp.int64)
         ys_parts = []
         for lo in range(0, n_chunks, cpd):
             hi = min(lo + cpd, n_chunks)
             with timed("solve.chunk_dispatch"):
-                u, worst, h, acc, ys_g = scan_solve(
-                    u, worst, h, acc, chunk_ids[lo:hi],
+                u, worst, h, warm, acc, ys_g = scan_solve(
+                    u, worst, h, warm, acc, chunk_ids[lo:hi],
                     stops_rows[lo:hi], at, rt, args_payload)
             ys_parts.append(ys_g)
         ys = ys_parts[0] if len(ys_parts) == 1 else jnp.concatenate(ys_parts)

@@ -74,6 +74,13 @@ class ODESimulationParams:
     # retry tightens tolerances at run time but keeps the floor chosen
     # from the REQUESTED abstol.
     clip_delta: object = "auto"                 # float | "auto"
+    # Carry the BDF method state (difference array, order, equal-step
+    # counter) across chunk boundaries so chunkwise solves resume instead
+    # of cold-restarting at order 1 — measured ~25-30% fewer steps on the
+    # 28-chunk production sweep with the chunked/unchunked gap closing to
+    # the stop-clamp cost. The reference's reinit! drops this state at
+    # every chunk (methods.jl:819); disable to reproduce that behaviour.
+    chunk_warm_start: bool = True
 
     def __post_init__(self):
         if self.tspan[0] >= self.tspan[1]:

@@ -148,7 +148,7 @@ class SensitivityProblem:
             ktab_s = ktab * scale[None, :]
 
             def body(carry, xs):
-                u, h = carry
+                u, h, warm = carry
                 nc, stops_row = xs
                 res = bdf.bdf_solve(
                     rhs, jac, u, 0.0, chunkstep, saveat_j,
@@ -157,12 +157,15 @@ class SensitivityProblem:
                     nonnegative=pars.ban_negatives,
                     nonnegative_project=pars.project_negatives,
                     lu_precision=pars.lu_precision,
-                    first_step=h, prepare=prepare,
+                    first_step=h, prepare=prepare, warm_start=warm,
                     args=(t_base + nc * chunkstep, (tstops_j, ktab_s)))
-                return (res.y_final, res.h), (res.ys, res.status)
+                warm = (res.D, res.order, res.n_equal_steps)
+                return (res.y_final, res.h, warm), (res.ys, res.status)
 
             h0 = jnp.asarray(jnp.nan, bdf.time_dtype(u0.dtype))
-            _, (ys, statuses) = jax.lax.scan(body, (u0, h0),
+            warm0 = (jnp.zeros((bdf.MAX_ORDER + 3, u0.shape[0]), u0.dtype),
+                     jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+            _, (ys, statuses) = jax.lax.scan(body, (u0, h0, warm0),
                                              (chunk_ids, stops_rows))
             return ys.reshape(-1, u0.shape[0]), jnp.min(statuses)
 

@@ -6,7 +6,10 @@ kernels (jac32, GJ inverse, rhs64) with chained scans.
 
 Run: python scripts/ablate.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

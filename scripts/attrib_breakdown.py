@@ -5,7 +5,10 @@ inverse, Newton-Schulz sweep, newton_solve, D rescale) with
 scan-chained evaluations so launch overhead amortises per iteration.
 Run on TPU: python scripts/attrib_breakdown.py
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -4,7 +4,10 @@ One representative static-k stiff chunk at nc (default 24), B=64,
 reporting ms/step for each RHS formulation inside the real BDF loop.
 Run on TPU: python scripts/attrib_fused.py [nc]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -9,6 +9,8 @@ Run: python scripts/attrib_step_cost.py
 """
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 from functools import partial
 

@@ -10,6 +10,8 @@ Env knobs: KINETICA_BENCH_NC, KINETICA_BENCH_BATCH.
 """
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -7,7 +7,10 @@ amortised out and we measure true device execution time.
 
 Run: python scripts/microbench_rhs.py [nc]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -9,10 +9,12 @@ results append to scripts/perf_campaign_results.jsonl as they land.
 Usage (on TPU):  python scripts/perf_campaign.py [--quick]
   --quick: only the headline config + the two most promising ablations.
 """
-import json
 import os
-import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import subprocess
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

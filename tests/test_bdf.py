@@ -174,3 +174,62 @@ def test_lu_drift_tol_reduces_refactors():
     np.testing.assert_allclose(np.asarray(res[0.25].ys),
                                np.asarray(res[0.0].ys),
                                rtol=1e-7, atol=1e-11)
+
+
+class TestWarmStart:
+    """Cross-segment warm start: resuming (D, order, n_equal_steps) must
+    beat a cold order-1 restart at every boundary while agreeing with the
+    single-solve result (reference reinit! drops this state,
+    methods.jl:819 — this is deliberately better than parity)."""
+
+    def _run_segments(self, warm, nseg=10, tf=100.0):
+        from kinetica_tpu.ops.bdf import MAX_ORDER, time_dtype
+
+        seg = tf / nseg
+        u = jnp.array([1.0, 0.0, 0.0])
+        h = jnp.asarray(jnp.nan, time_dtype(u.dtype))
+        D = jnp.zeros((MAX_ORDER + 3, 3), u.dtype)
+        order = jnp.asarray(0, jnp.int32)
+        neq = jnp.asarray(0, jnp.int32)
+        total = 0
+        for _ in range(nseg):
+            res = bdf_solve(robertson_rhs, robertson_jac, u, 0.0, seg,
+                            jnp.array([seg]), rtol=1e-8, atol=1e-10,
+                            first_step=h,
+                            warm_start=(D, order, neq) if warm else None)
+            assert int(res.status) == DONE
+            u, h = res.y_final, res.h
+            D, order, neq = res.D, res.order, res.n_equal_steps
+            total += int(res.n_steps)
+        return total, np.asarray(u)
+
+    def test_warm_start_cuts_restart_ramp(self):
+        ref = bdf_solve(robertson_rhs, robertson_jac,
+                        jnp.array([1.0, 0.0, 0.0]), 0.0, 100.0,
+                        jnp.array([100.0]), rtol=1e-8, atol=1e-10)
+        steps_cold, u_cold = self._run_segments(warm=False)
+        steps_warm, u_warm = self._run_segments(warm=True)
+        # the warm path must recover a large part of the restart penalty
+        assert steps_warm < steps_cold - 0.5 * (steps_cold
+                                                - int(ref.n_steps))
+        np.testing.assert_allclose(u_warm, np.asarray(ref.y_final),
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(u_warm, u_cold, rtol=1e-6, atol=1e-12)
+
+    def test_invalid_carry_falls_back_cold(self):
+        """order=0 / NaN-h carries must reproduce the cold start exactly."""
+        from kinetica_tpu.ops.bdf import MAX_ORDER, time_dtype
+
+        u0 = jnp.array([1.0, 0.0, 0.0])
+        cold = bdf_solve(robertson_rhs, robertson_jac, u0, 0.0, 1.0,
+                         jnp.array([1.0]), rtol=1e-8, atol=1e-10)
+        warm0 = (jnp.zeros((MAX_ORDER + 3, 3), u0.dtype),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        res = bdf_solve(robertson_rhs, robertson_jac, u0, 0.0, 1.0,
+                        jnp.array([1.0]), rtol=1e-8, atol=1e-10,
+                        first_step=jnp.asarray(jnp.nan,
+                                               time_dtype(u0.dtype)),
+                        warm_start=warm0)
+        assert int(res.n_steps) == int(cold.n_steps)
+        np.testing.assert_array_equal(np.asarray(res.y_final),
+                                      np.asarray(cold.y_final))
