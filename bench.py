@@ -180,11 +180,16 @@ def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
         return N.T @ G
 
     u0 = make_u0(sd, pars)
-    t0 = time.perf_counter()
-    sol = solve_ivp(rhs, pars.tspan, u0, method="BDF", jac=jac,
-                    rtol=RTOL, atol=ATOL)
-    dt = time.perf_counter() - t0
-    assert sol.success, "CPU baseline failed"
+    # best-of-3: the single-core host is shared, and a contended core
+    # inflates the baseline (observed 0.48 s quiet vs 1.2 s under load) —
+    # the MIN is the honest statement of the CPU's capability
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = solve_ivp(rhs, pars.tspan, u0, method="BDF", jac=jac,
+                        rtol=RTOL, atol=ATOL)
+        dt = min(dt, time.perf_counter() - t0)
+        assert sol.success, "CPU baseline failed"
     return dt, sol.y[:, -1]
 
 

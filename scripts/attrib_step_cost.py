@@ -40,9 +40,14 @@ def setup():
     net64 = build_mass_action(rd, sd.n, dtype=jnp.float64)
     net32 = build_mass_action(rd, sd.n, dtype=jnp.float32)
     ns = sd.n
-    # per-lane temperatures 500..1200 K -> k tables (B, nr)
+    # per-lane temperatures -> k tables (B, nr); pure numpy — eager
+    # emulated-f64 device dispatches here have crashed the remote worker
+    from kinetica_tpu import constants
     Ts = np.linspace(500.0, 560.0, B)
-    ks = np.stack([np.asarray(calc(T=jnp.asarray(T))) for T in Ts])
+    k_raw = (np.asarray(A)[None, :]
+             * np.exp(-np.asarray(Ea)[None, :] / (constants.R * Ts[:, None]))
+             * constants.N_A)
+    ks = 1.0 / (1.0 / calc.k_max + 1.0 / k_raw)
     u0 = np.zeros(ns)
     u0[sd.toInt[f"C{NC}"]] = 1.0
     return net64, net32, jnp.asarray(ks), jnp.asarray(np.tile(u0, (B, 1)))
