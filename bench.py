@@ -120,77 +120,13 @@ def build():
 
 def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
     """scipy BDF on the identical system — pure numpy RHS/Jacobian (no
-    device dispatch), the honest CPU-production baseline."""
-    from scipy.integrate import solve_ivp
-
-    from kinetica_tpu import constants
+    device dispatch; see testing/cpu_reference.py for why that matters),
+    the honest CPU-production baseline. Best-of-3 against host contention."""
     from kinetica_tpu.solving.solve_utils import make_u0
+    from kinetica_tpu.testing.cpu_reference import scipy_bdf_baseline
 
-    # numpy mass-action formulation (mirrors models/mass_action.py)
-    ns, nr = sd.n, rd.nr
-    arity = max(2, max(sum(s) for s in rd.stoic_reacs))
-    slots = np.full((nr, arity), ns, dtype=np.int64)
-    N = np.zeros((nr, ns))
-    for j in range(nr):
-        s = 0
-        for sid, st in zip(rd.id_reacs[j], rd.stoic_reacs[j]):
-            N[j, sid] -= st
-            for _ in range(st):
-                slots[j, s] = sid
-                s += 1
-        for sid, st in zip(rd.id_prods[j], rd.stoic_prods[j]):
-            N[j, sid] += st
-    E = np.zeros((arity, nr, ns))
-    for s in range(arity):
-        valid = slots[:, s] < ns
-        E[s, np.flatnonzero(valid), slots[valid, s]] = 1.0
-
-    prof = conditions.get_profile("T")
-    Ea_np, A_np = np.asarray(calc.Ea), np.asarray(calc.A)
-    k_max = calc.k_max
-    # Pure-numpy profile evaluation. Going through prof.value(t) (jnp) put
-    # a device dispatch inside every scipy RHS call — on the r1/r2 bench,
-    # where this process had the remote TPU registered, that inflated the
-    # "CPU baseline" ~13x (64-98 s measured vs 5.6 s true). The baseline
-    # must never touch jax.
-    t_ramp_end = float(prof.t_end)
-    T0, T_rate, T_end = (float(prof.X_start), float(prof.rate),
-                         float(prof.X_end))
-
-    def k_of_t(t):
-        T = T0 + T_rate * t if t <= t_ramp_end else T_end
-        k = A_np * np.exp(-Ea_np / (constants.R * T)) * constants.N_A
-        if k_max is not None:
-            k = 1.0 / (1.0 / k_max + 1.0 / k)
-        return k
-
-    def rhs(t, y):
-        u = np.append(y, 1.0)
-        r = k_of_t(t) * u[slots].prod(axis=1)
-        return r @ N
-
-    def jac(t, y):
-        u = np.append(y, 1.0)
-        k = k_of_t(t)
-        su = u[slots]
-        G = np.zeros((nr, ns))
-        for s in range(arity):
-            others = np.prod(np.delete(su, s, axis=1), axis=1)
-            G += (k * others)[:, None] * E[s]
-        return N.T @ G
-
-    u0 = make_u0(sd, pars)
-    # best-of-3: the single-core host is shared, and a contended core
-    # inflates the baseline (observed 0.48 s quiet vs 1.2 s under load) —
-    # the MIN is the honest statement of the CPU's capability
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sol = solve_ivp(rhs, pars.tspan, u0, method="BDF", jac=jac,
-                        rtol=RTOL, atol=ATOL)
-        dt = min(dt, time.perf_counter() - t0)
-        assert sol.success, "CPU baseline failed"
-    return dt, sol.y[:, -1]
+    return scipy_bdf_baseline(sd, rd, calc, conditions.get_profile("T"),
+                              pars.tspan, make_u0(sd, pars), RTOL, ATOL)
 
 
 def device_phase(result_path, cpu_final_path, platform):

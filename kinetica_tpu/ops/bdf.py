@@ -128,7 +128,14 @@ def _rms_norm(x):
 
 
 def _rms_norm_f64(x):
-    return jnp.sqrt(jnp.mean(x * x))
+    # Scale-invariant formulation: TPU's emulated f64 (double-float) has
+    # f64 precision but only f32 DYNAMIC RANGE (head word is f32, max
+    # ~3.4e38). Stiff-rate quotients reach ~1e19-1e20 here, so the naive
+    # mean(x*x) overflows the head to inf/NaN on TPU while passing on CPU.
+    # Factoring out max|x| keeps every squared operand <= 1.
+    m = jnp.max(jnp.abs(x))
+    m_safe = jnp.where(m > 0.0, m, 1.0)
+    return m * jnp.sqrt(jnp.mean(jnp.square(x / m_safe)))
 
 
 def _scaled_norm(v, scale32):
@@ -656,8 +663,16 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                                   (refresh, s.J))
             current_jac = s.current_jac | refresh
             n_jev = s.n_jev + refresh.astype(jnp.int32)
-            # Force an LU refactor with the fresh J next iteration.
-            c_lu_next = jnp.where(refresh, jnp.asarray(-jnp.inf, tdtype), c)
+            # Force an LU refactor with the fresh J next iteration. c_lu
+            # tracks the c at which the LU was last BUILT, so it only
+            # advances when need_lu actually refactored — overwriting it
+            # with the current attempt's c every step let sub-tolerance
+            # per-step drifts accumulate unboundedly without ever firing
+            # need_lu, leaving Newton iterating against an arbitrarily
+            # stale LU (observed: saturated-k lanes wedged at 4-iteration
+            # rescue/reject creep with n_lu frozen at 1).
+            c_lu_next = jnp.where(refresh, jnp.asarray(-jnp.inf, tdtype),
+                                  jnp.where(need_lu, c, s.c_lu))
 
         safety = (0.9 * (2 * NEWTON_MAXITER + 1)
                   / (2 * NEWTON_MAXITER + n_it.astype(f32)))
@@ -848,7 +863,14 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             h_ncf=jnp.where(nfail & (~clamp), h,
                             jnp.where(accept, s.h_ncf * 1.5, s.h_ncf)))
         too_many = s_new.n_steps >= max_steps
-        h_under = s_new.h < h_min
+        # NaN/inf poisoning of the controller state never recovers, and —
+        # because NaN comparisons are all False — it fails NEITHER the
+        # h-underflow test NOR the refactor/convergence gates, so a
+        # poisoned lane would spin at t0 until max_steps (observed on TPU
+        # when a pre-fix range overflow NaN'd h_init: 6000 dead attempts,
+        # ~3 min of device time). Abort the lane immediately instead.
+        h_under = (s_new.h < h_min) | ~(jnp.isfinite(s_new.h)
+                                        & jnp.isfinite(s_new.t))
         status = jnp.where(s_new.status == DONE, DONE,
                            jnp.where(too_many, FAIL_MAX_STEPS,
                                      jnp.where(h_under, FAIL_H_UNDERFLOW, RUNNING)))

@@ -66,3 +66,16 @@ print(f"1e5s sweep: {dt/B*1e3:.1f} ms/profile (warm incl compile "
       f"{warm:.0f}s); steps max={int(steps.max())} med="
       f"{int(np.median(steps))}; carbon drift {drift:.2e}")
 sys.stdout.flush()
+
+# CPU reference at the same config (single profile, pure numpy, best-of-3)
+from kinetica_tpu.solving.solve_utils import make_u0  # noqa: E402
+from kinetica_tpu.testing.cpu_reference import scipy_bdf_baseline  # noqa: E402
+
+cpu_dt, cpu_final = scipy_bdf_baseline(
+    sd, rd, calc, conditions_list[0].get_profile("T"), pars.tspan,
+    make_u0(sd, pars), pars.reltol, pars.abstol)
+err = np.max(np.abs(np.asarray(ens.u[0, -1]) - cpu_final)
+             / max(cpu_final.sum(), 1.0))
+print(f"CPU BDF single profile: {cpu_dt:.2f}s -> per-profile speedup "
+      f"{cpu_dt / (dt / B):.1f}x; max mole-frac err vs CPU {err:.2e}")
+sys.stdout.flush()

@@ -233,3 +233,56 @@ class TestWarmStart:
         assert int(res.n_steps) == int(cold.n_steps)
         np.testing.assert_array_equal(np.asarray(res.y_final),
                                       np.asarray(cold.y_final))
+
+
+def test_rms_norm_f64_survives_f32_range():
+    """TPU's emulated f64 has f32 dynamic range: naive mean(x*x) of stiff
+    rate quotients (~1e19) overflows the double-float head to NaN, which
+    poisons select_initial_step's h and — since NaN fails every gate —
+    wedged lanes at t0 until max_steps. The scale-invariant norm must
+    return the true magnitude without squaring anything above 1."""
+    from kinetica_tpu.ops.bdf import _rms_norm_f64
+
+    x = jnp.full(16, 1e19)
+    out = float(_rms_norm_f64(x))
+    assert np.isfinite(out)
+    np.testing.assert_allclose(out, 1e19, rtol=1e-12)
+    assert float(_rms_norm_f64(jnp.zeros(4))) == 0.0
+
+
+def test_c_lu_tracks_factorization_not_attempts():
+    """c_lu must remember the c at which the LU was last BUILT. Overwriting
+    it with every attempt's c lets sub-tolerance per-step drifts accumulate
+    forever without a refactor (observed: saturated lanes creeping at a
+    stale LU with n_lu frozen at 1). On a problem whose h grows steadily,
+    a tight drift tolerance must keep refactoring as cumulative drift
+    crosses it."""
+    A = jnp.asarray([[-1.0, 0.3, 0.0], [0.2, -5.0, 0.1], [0.0, 0.4, -0.2]])
+    rhs = lambda t, y, a: A @ y  # noqa: E731
+    jac = lambda t, y, a: A  # noqa: E731
+    res = bdf_solve(rhs, jac, jnp.ones(3), 0.0, 40.0,
+                    jnp.linspace(1.0, 40.0, 8), rtol=1e-9, atol=1e-12,
+                    lu_drift_tol=0.05, args=0.0)
+    assert int(res.status) == DONE
+    # h ramps from ~1e-4 to ~10 over this solve: cumulative c drift crosses
+    # 5% many times, so a correct tracker refactors many times.
+    assert int(res.n_lu) > 10
+
+
+def test_nan_poisoned_state_aborts_fast():
+    """A NaN in the controller state can never recover (NaN comparisons
+    fail every gate), so the lane must abort with FAIL_H_UNDERFLOW instead
+    of spinning to max_steps."""
+    from kinetica_tpu.ops.bdf import FAIL_H_UNDERFLOW
+
+    def rhs(t, y, a):
+        # Blows up to NaN immediately: y' = sqrt(y - 2) with y0 = 1.
+        return jnp.sqrt(y - 2.0)
+
+    def jac(t, y, a):
+        return (0.5 / jnp.sqrt(y - 2.0))[:, None] * jnp.eye(1, dtype=y.dtype)
+
+    res = bdf_solve(rhs, jac, jnp.ones(1), 0.0, 1.0, jnp.array([1.0]),
+                    rtol=1e-8, atol=1e-10, max_steps=5000, args=0.0)
+    assert int(res.status) == FAIL_H_UNDERFLOW
+    assert int(res.n_steps) < 100

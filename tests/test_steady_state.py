@@ -88,7 +88,11 @@ def test_ensemble_equilibrium_map():
     single = find_steady_state(StaticODESolve(pars, conds[2], calc), sd, rd,
                                t_first=0.1, max_epochs=16)
     assert single.converged
-    np.testing.assert_allclose(ens.u[2], single.u, rtol=1e-6, atol=1e-30)
+    # atol sits two decades below the default abstol (1e-10): species at
+    # ~1e-24 and below are sub-tolerance garbage whose exact values shift
+    # with refactor timing (batched vs single step trajectories differ at
+    # roundoff); asserting them any tighter pins solver noise.
+    np.testing.assert_allclose(ens.u[2], single.u, rtol=1e-6, atol=1e-12)
     # the equilibrium genuinely shifts with temperature
     diffs = np.abs(np.diff(ens.u, axis=0)).max(axis=1)
     assert np.all(diffs > 1e-6)
