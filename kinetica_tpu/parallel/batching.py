@@ -125,12 +125,14 @@ class EnsembleProblem:
         dry-runs), "host" dispatches one device call per chunk, "group"
         scans ``pars.chunks_per_dispatch`` chunks (None = the shared
         auto value: all chunks on CPU, 32 on accelerators) per device
-        call. "auto" picks host on accelerators and scan on CPU —
-        measured on the remote-attached TPU, grouping is a wash (~3%
-        slower on the bench sweep): the runtime pipelines each dispatch's
-        fixed overhead with the previous execution, so per-chunk dispatch
-        costs are already hidden; "group" remains available for
-        environments where that overlap does not hold.
+        call. "auto" picks group on accelerators and scan on CPU.
+        Per-chunk ("host") dispatch relies on the runtime pipelining
+        each dispatch's fixed overhead with the previous execution —
+        true on a fast link (~3% of a wash vs group), but on a
+        congested remote attachment the per-dispatch latency leaks
+        straight into the critical path (measured 1.8x slower than
+        group on the production sweep under a slow tunnel), so the
+        auto default amortises dispatches in bounded groups.
 
         ``rate_mode``: "discrete" precomputes per-member k tables on a
         shared tstop grid (the reference's production formalism); the
@@ -152,7 +154,7 @@ class EnsembleProblem:
                 chunk_mode = "scan"   # the shard_map program is scan-form
             else:
                 chunk_mode = ("scan" if jax.default_backend() == "cpu"
-                              else "host")
+                              else "group")
         if model_shards and chunk_mode != "scan":
             raise ValueError("model-axis sharded solves support "
                              "chunk_mode='scan' only")

@@ -81,6 +81,12 @@ VARIANTS = {
     "group(cpd=28)": dict(chunk_mode="group", chunks_per_dispatch=28),
     "scan": dict(chunk_mode="scan"),
     "discrete(ts=0.02)": dict(rate_mode="discrete"),
+    # k held per-chunk (28 stops): step count lands close to continuous,
+    # so the ms/step delta vs group(cpd=28) isolates the per-attempt
+    # continuous Arrhenius evaluation (emulated-f64 exp over nr)
+    "discrete(ts=0.5,group)": dict(rate_mode="discrete", ts_update=0.5,
+                                   chunk_mode="group",
+                                   chunks_per_dispatch=28),
     "chunkstep=1.0": dict(chunkstep=1.0, save_interval=1.0),
     "chunkstep=2.0": dict(chunkstep=2.0, save_interval=2.0),
     "inv_fused": dict(linsolve="inv_fused"),
