@@ -7,12 +7,38 @@ right-hand side.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
 from ..utils.time_units import tconvert
 from .base import KineticCalculator
+
+# log-space stand-in for ln(0) prefactors: far below pair_exp's -87
+# underflow-to-zero threshold, but finite so pair arithmetic stays NaN-free
+_LN_ZERO = -1.0e4
+
+
+def _f32_pair_const(x):
+    """Host f64 array -> (hi, lo) f32 pair jnp constants.
+
+    Built eagerly (ensure_compile_time_eval) so values cached across
+    traces are concrete arrays, never trace-scoped tracers."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _pair_split_time_scalar(s):
+    """Split a traced f64 scalar/array into an f32 pair (f32 passthrough)."""
+    from ..ops.dd import pair_from_f64
+    if s.dtype == jnp.float64:
+        return pair_from_f64(s)
+    s = s.astype(jnp.float32)
+    return s, jnp.zeros_like(s)
 
 
 class DummyKineticCalculator(KineticCalculator):
@@ -80,9 +106,70 @@ class PrecalculatedArrheniusCalculator(KineticCalculator):
 
     def __call__(self, T, **_):
         T = jnp.asarray(T)
+        if jax.default_backend() != "cpu":
+            # XLA's f64-on-TPU is a double-f32 emulation whose exp
+            # underflows the F32 range: A*exp(-Ea/RT) with A*N_A ~ 1e40
+            # and exponent < -87 evaluates to 0 instead of O(10), and
+            # exponents in (-87, -71] lose their low word (~2e-4 relative
+            # noise) — discontinuous, noisy k(T(t)) that wrecked ramping
+            # solves (+45% step attempts). Route through the log-space
+            # pair pipeline (rates_pair), which never materialises an
+            # out-of-range intermediate; ~5e-13 relative.
+            from ..ops.dd import pair_to_f64
+            kh, kl = self.rates_pair(T)
+            dt = jnp.result_type(float)
+            if dt == jnp.float64:
+                return pair_to_f64(kh, kl)
+            return kh
         expo = -self.Ea / (constants.R * T[..., None] if T.ndim else constants.R * T)
         k = self.A * jnp.exp(expo) * constants.N_A * self.t_mult
         return self._apply_k_max(k, self.k_max)
+
+    def _pair_consts(self):
+        """Cached f32-pair constants of the log-space form
+        ln k_raw = ln(A N_A t_mult) - (Ea/R) / T."""
+        n = int(self.Ea.shape[0])
+        cache = getattr(self, "_pc_cache", None)
+        if cache is not None and cache[0] == n:
+            return cache[1]
+        A = np.asarray(self.A, np.float64)
+        Ea = np.asarray(self.Ea, np.float64)
+        with np.errstate(divide="ignore"):
+            ln_total = np.log(A) + np.log(constants.N_A) + np.log(self.t_mult)
+        ln_total = np.where(A > 0.0, ln_total, _LN_ZERO)
+        consts = (*_f32_pair_const(ln_total),
+                  *_f32_pair_const(Ea / constants.R))
+        self._pc_cache = (n, consts)
+        return consts
+
+    def rates_pair(self, T, **_):
+        """Rate constants as a renormalised f32 (hi, lo) pair, computed
+        range-safely in log space (see __call__); ~5e-13 relative.
+
+        ``T`` scalar -> (nr,) pairs; ``T`` of shape (...,) -> (..., nr).
+        """
+        from ..ops.dd import pair_add, pair_exp, pair_mul, pair_recip
+        lnA_h, lnA_l, c_h, c_l = self._pair_consts()
+        T = jnp.asarray(T)
+        s = 1.0 / (T[..., None] if T.ndim else T)
+        sh, sl = _pair_split_time_scalar(s)
+        ph, pl = pair_mul(c_h, c_l, sh, sl)
+        eh, el = pair_add(lnA_h, lnA_l, -ph, -pl)
+        kh, kl = pair_exp(eh, el)
+        if self.k_max is not None:
+            # harmonic cap 1/(1/k_max + 1/k) in pair arithmetic. k = 0
+            # (underflowed-dead rates) must stay 0: pair_recip(0) is a
+            # 0/0 NaN, so guard with a sacrificial 1.0 and mask after.
+            dead = kh <= 0.0
+            ih, il = pair_recip(jnp.where(dead, 1.0, kh),
+                                jnp.where(dead, 0.0, kl))
+            km_h, km_l = _f32_pair_const(1.0 / np.float64(self.k_max))
+            dh, dl = pair_add(ih, il, km_h, km_l)
+            ch2, cl2 = pair_recip(dh, dl)
+            zero = jnp.zeros_like(kh)
+            kh = jnp.where(dead, zero, ch2)
+            kl = jnp.where(dead, zero, cl2)
+        return kh, kl
 
 
 class PrecalculatedLindemannCalculator(KineticCalculator):
@@ -133,6 +220,13 @@ class PrecalculatedLindemannCalculator(KineticCalculator):
             raise NotImplementedError("Lindemann rate constants not implemented yet.")
         T = jnp.asarray(T)
         P = jnp.asarray(P)
+        if jax.default_backend() != "cpu":
+            # same TPU f64-emulation range hazard as the Arrhenius
+            # calculator (see its __call__): route through log space
+            from ..ops.dd import pair_to_f64
+            kh, kl = self.rates_pair(T, P)
+            dt = jnp.result_type(float)
+            return pair_to_f64(kh, kl) if dt == jnp.float64 else kh
         Tb = T[..., None] if T.ndim else T
         Pb = P[..., None] if P.ndim else P
         boltz = jnp.exp(-self.Ea / (constants.R * Tb))
@@ -142,3 +236,76 @@ class PrecalculatedLindemannCalculator(KineticCalculator):
         pr = k0 * M / k_inf
         k = k_inf * pr / (1.0 + pr) * constants.N_A * self.t_mult
         return self._apply_k_max(k, self.k_max)
+
+    def _pair_consts(self):
+        """(ln(A_inf N_A t_mult), ln(A_0 N_A t_mult), Ea/R, A_0/A_inf)
+        as f32 pair constants.
+
+        The Boltzmann factor cancels inside Pr = k0 [M] / k_inf, so the
+        falloff blend needs no exp at all. rates_pair anchors the single
+        exponential on whichever limit dominates (k_inf for Pr > 1, k0
+        for Pr <= 1) so the remaining linear-space factor always lies in
+        [0.5, 1] — full pair accuracy with no dynamic-range hazard."""
+        n = int(self.Ea.shape[0])
+        cache = getattr(self, "_pc_cache", None)
+        if cache is not None and cache[0] == n:
+            return cache[1]
+        A_0 = np.asarray(self.A_0, np.float64)
+        A_inf = np.asarray(self.A_inf, np.float64)
+        Ea = np.asarray(self.Ea, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ln_na = np.log(constants.N_A) + np.log(self.t_mult)
+            ln_inf = np.log(A_inf) + ln_na
+            ln_0 = np.log(A_0) + ln_na
+            ratio = np.where(A_inf > 0.0, A_0 / A_inf, 0.0)
+        ln_inf = np.where(A_inf > 0.0, ln_inf, _LN_ZERO)
+        ln_0 = np.where(A_0 > 0.0, ln_0, _LN_ZERO)
+        consts = (*_f32_pair_const(ln_inf), *_f32_pair_const(ln_0),
+                  *_f32_pair_const(Ea / constants.R),
+                  *_f32_pair_const(ratio))
+        self._pc_cache = (n, consts)
+        return consts
+
+    def rates_pair(self, T, P, **_):
+        """Lindemann rates as f32 pairs via the range-safe pipeline."""
+        from ..ops.dd import pair_add, pair_exp, pair_mul, pair_recip
+        (li_h, li_l, l0_h, l0_l, c_h, c_l,
+         q_h, q_l) = self._pair_consts()
+        T = jnp.asarray(T)
+        P = jnp.asarray(P)
+        Tb = T[..., None] if T.ndim else T
+        Pb = P[..., None] if P.ndim else P
+        s = 1.0 / Tb
+        sh, sl = _pair_split_time_scalar(s)
+        ph, pl = pair_mul(c_h, c_l, sh, sl)        # (Ea/R)/T
+        # Pr = (A_0/A_inf) * [M], [M] = P/(R T)/1000 — scalar-per-lane f64
+        M = Pb / (constants.R * Tb) / 1000.0
+        mh, ml = _pair_split_time_scalar(M)
+        prh, prl = pair_mul(q_h, q_l, mh, ml)
+        # k = k_inf Pr/(1+Pr) = k0 [M] / (1+Pr): anchor the exponent on
+        # the dominant limit so the linear factor stays in [0.5, 1]
+        lnM_h, lnM_l = _pair_split_time_scalar(jnp.log(M))
+        big = prh > 1.0
+        e0h, e0l = pair_add(l0_h, l0_l, lnM_h, lnM_l)   # + ln [M]
+        base_h = jnp.where(big, li_h, e0h)
+        base_l = jnp.where(big, li_l, e0l)
+        eh, el = pair_add(base_h, base_l, -ph, -pl)
+        kh, kl = pair_exp(eh, el)
+        dh, dl = pair_add(prh, prl, jnp.float32(1.0), jnp.float32(0.0))
+        ih, il = pair_recip(dh, dl)                    # 1/(1+Pr)
+        # Pr/(1+Pr) = 1 - 1/(1+Pr) (pair-exact complement)
+        gh, gl = pair_add(jnp.float32(1.0), jnp.float32(0.0), -ih, -il)
+        bh = jnp.where(big, gh, ih)
+        bl = jnp.where(big, gl, il)
+        kh, kl = pair_mul(kh, kl, bh, bl)
+        if self.k_max is not None:
+            dead = kh <= 0.0
+            ih, il = pair_recip(jnp.where(dead, 1.0, kh),
+                                jnp.where(dead, 0.0, kl))
+            km_h, km_l = _f32_pair_const(1.0 / np.float64(self.k_max))
+            ch2, cl2 = pair_add(ih, il, km_h, km_l)
+            fh, fl = pair_recip(ch2, cl2)
+            zero = jnp.zeros_like(kh)
+            kh = jnp.where(dead, zero, fh)
+            kl = jnp.where(dead, zero, fl)
+        return kh, kl

@@ -42,6 +42,13 @@ from .linalg import (NewtonFactors, newton_factor, newton_solve,
 MAX_ORDER = 5
 _DEBUG_TRACE = False  # set True for per-step-attempt prints (diagnosis only)
 _DEBUG_DUMP = False   # with _DEBUG_TRACE: also dump Newton system inputs
+# In-carry attempt trace: set to a row count N > 0 to record per-attempt
+# (t, h, order, err_norm, n_it, converged, accept, nfail) rows into an
+# (N, 8) f32 buffer returned as BDFResults.trace. Unlike _DEBUG_TRACE
+# (jax.debug.print), this works on backends without host callbacks
+# (e.g. remote-attached TPU). Diagnosis only — costs one
+# dynamic_update_slice per attempt.
+_TRACE_STEPS = 0
 _NOISE_ACCEPT = 0.03  # scaled-units Newton noise-floor acceptance threshold
 NEWTON_MAXITER = 4
 MIN_FACTOR = 0.2
@@ -77,6 +84,7 @@ class BDFState(NamedTuple):
     stop_ptr: jnp.ndarray
     bruised: jnp.ndarray      # recent Newton failure: limit h regrowth
     h_ncf: jnp.ndarray        # Newton-failure step ceiling (decays upward)
+    trace: jnp.ndarray = None  # (_TRACE_STEPS, 8) attempt log (diagnosis)
 
 
 class BDFResults(NamedTuple):
@@ -98,6 +106,7 @@ class BDFResults(NamedTuple):
     # ``first_step=h`` to the next segment's bdf_solve).
     D: jnp.ndarray = None
     n_equal_steps: jnp.ndarray = None
+    trace: jnp.ndarray = None
 
 
 def time_dtype(state_dtype):
@@ -437,6 +446,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         bruised=jnp.asarray(False),
         stop_ptr=stop_ptr0.astype(jnp.int32),
         h_ncf=jnp.asarray(jnp.inf, tdtype),
+        trace=(jnp.zeros((_TRACE_STEPS, 8), jnp.float32)
+               if _TRACE_STEPS else None),
     )
 
     def newton_iterate(t_new, pre, y_pred, c, psi, scale, fact):
@@ -862,6 +873,13 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             bruised=jnp.where(accept, jnp.asarray(False), s.bruised | nfail),
             h_ncf=jnp.where(nfail & (~clamp), h,
                             jnp.where(accept, s.h_ncf * 1.5, s.h_ncf)))
+        if _TRACE_STEPS:
+            row = jnp.stack([
+                t.astype(f32), h.astype(f32), order.astype(f32), err_norm,
+                n_it.astype(f32), converged.astype(f32), accept.astype(f32),
+                nfail.astype(f32)])
+            s_new = s_new._replace(trace=lax.dynamic_update_slice(
+                s.trace, row[None], (s.n_steps, jnp.asarray(0, jnp.int32))))
         too_many = s_new.n_steps >= max_steps
         # NaN/inf poisoning of the controller state never recovers, and —
         # because NaN comparisons are all False — it fails NEITHER the
@@ -891,4 +909,4 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         n_steps=final.n_steps, n_accepted=final.n_accepted,
         n_rejected=final.n_rejected, n_fev=final.n_fev,
         n_jev=final.n_jev, n_lu=final.n_lu,
-        D=final.D, n_equal_steps=final.n_equal_steps)
+        D=final.D, n_equal_steps=final.n_equal_steps, trace=final.trace)

@@ -25,34 +25,48 @@ from jax import lax
 # closure-captured as a device constant, which Pallas kernels reject.
 _SPLITTER = 4097.0
 
+# ``guard``: error-free transformations are algebraically trivial —
+# (a+b)-a "is" b — and XLA's simplifier exploits exactly that when the
+# surrounding computation gives it the pattern (measured: the pair
+# exponent pipeline silently degraded from ~5e-13 to f32 half-ulp under
+# jit; the isolated functions survive, larger fusions do not). An
+# optimization_barrier on the rounded intermediate makes the identity
+# unprovable. Pallas kernel bodies must pass guard=False: Mosaic has no
+# optimization_barrier lowering, and (verified by the on-hardware kernel
+# accuracy tests) does not perform the offending simplification.
 
-def two_sum(a, b):
+
+def _opaque(x, guard):
+    return lax.optimization_barrier(x) if guard else x
+
+
+def two_sum(a, b, guard: bool = True):
     """s, e with s = fl(a+b) and a+b = s+e exactly (Knuth)."""
-    s = a + b
+    s = _opaque(a + b, guard)
     bp = s - a
     e = (a - (s - bp)) + (b - bp)
     return s, e
 
 
-def fast_two_sum(a, b):
+def fast_two_sum(a, b, guard: bool = True):
     """TwoSum assuming |a| >= |b| (Dekker) — 3 ops instead of 6."""
-    s = a + b
+    s = _opaque(a + b, guard)
     e = b - (s - a)
     return s, e
 
 
-def veltkamp(a):
+def veltkamp(a, guard: bool = True):
     """a = hi + lo with hi carrying the top 12 mantissa bits (exact)."""
-    c = _SPLITTER * a
+    c = _opaque(_SPLITTER * a, guard)
     hi = c - (c - a)
     return hi, a - hi
 
 
-def two_prod(a, b):
+def two_prod(a, b, guard: bool = True):
     """p, e with p = fl(a*b) and a*b = p+e exactly (Dekker, FMA-free)."""
-    p = a * b
-    ah, al = veltkamp(a)
-    bh, bl = veltkamp(b)
+    p = _opaque(a * b, guard)
+    ah, al = veltkamp(a, guard)
+    bh, bl = veltkamp(b, guard)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, e
 
@@ -68,24 +82,126 @@ def pair_to_f64(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
-def pair_mul(xh, xl, yh, yl):
+def pair_mul(xh, xl, yh, yl, guard: bool = True):
     """Renormalised pair product: (xh+xl)*(yh+yl) to ~2^-45 relative."""
-    p, e = two_prod(xh, yh)
+    p, e = two_prod(xh, yh, guard)
     e = e + (xh * yl + xl * yh)
-    return fast_two_sum(p, e)
+    return fast_two_sum(p, e, guard)
 
 
-def pair_add(xh, xl, yh, yl):
+def pair_add(xh, xl, yh, yl, guard: bool = True):
     """Renormalised pair sum: (xh+xl)+(yh+yl) to ~2^-45 relative
     (Dekker's "sloppy" add — sufficient here: consumers tolerate
     relative error well above pair width)."""
-    s, e = two_sum(xh, yh)
+    s, e = two_sum(xh, yh, guard)
     e = e + (xl + yl)
-    return fast_two_sum(s, e)
+    return fast_two_sum(s, e, guard)
 
 
 def pair_neg(xh, xl):
     return -xh, -xl
+
+
+def pair_recip(xh, xl):
+    """1 / (xh+xl) to ~2^-45 relative (one Newton correction on 1/xh)."""
+    q = 1.0 / xh
+    p, e = two_prod(xh, q)
+    r = ((1.0 - p) - e) - xl * q          # 1 - x*q, exact-dominant terms
+    return fast_two_sum(q, q * r)
+
+
+# --- pair-precision exp ---------------------------------------------------
+# Range-safe exp for TPU-resident rate evaluation. XLA's f64-on-TPU is a
+# double-f32 emulation: its exp UNDERFLOWS THE F32 RANGE for arguments
+# below ~-87 (a rate constant k = A*exp(-Ea/RT) with A*N_A ~ 1e40 and
+# exponent -88 silently evaluates to 0 instead of ~40), and for results
+# below ~2^-102 the pair's low word flushes, leaving only f32-level
+# accuracy (measured 2.4e-4 relative on the (-87, -70] exponent band).
+# Both effects wreck a ramping CRN solve: rate constants jump
+# discontinuously in t and carry noise far above the BDF error test's
+# tolerance band (measured +45% step attempts on the production sweep).
+# Callers evaluate ln k in pair precision (no range issue: |ln k| is
+# O(100)) and exponentiate with pair_exp, which never materialises an
+# out-of-range intermediate.
+#
+# Algorithm: reduction e = n*ln2 + r with |r| <= ln2/2 (ln2 as an f32
+# pair, n via two_prod so the reduction is error-free), degree-5 Taylor
+# in pair arithmetic + degree-12 f32 tail, exact 2^n scaling by exponent
+# bit manipulation. Relative accuracy ~5e-13 (tested against f64 exp),
+# smooth in the argument at that level; |e| <= 88 covers k ratios of
+# ~1e76 — far beyond any physical rate span once the caller's k_max cap
+# and low-k cutoffs apply.
+_EXP_LN2_HI = 0.6931471824645996
+_EXP_LN2_LO = -1.9046542121259336e-09
+_EXP_INV_LN2 = 1.4426950408889634
+_EXP_C = (  # (hi, lo) pairs of 1/k! for k = 5, 4, 3, 2
+    (0.008333333767950535, -4.34617203337595e-10),
+    (0.0416666679084301, -1.2417634698280722e-09),
+    (0.1666666716337204, -4.967053879312289e-09),
+    (0.5, 0.0),
+)
+_EXP_TAIL = (  # 1/k! for k = 12 .. 6 (f32 Horner)
+    2.0876755879584152e-09, 2.5052107943679403e-08, 2.755731998149713e-07,
+    2.7557318844628753e-06, 2.4801587642286904e-05, 0.00019841270113829523,
+    0.0013888889225199819,
+)
+# Hi clamp at 80, NOT the f32-max-bound 88: downstream pair arithmetic
+# (harmonic k_max caps, falloff blends) runs these values through
+# two_prod, whose Veltkamp split computes 4097*x and overflows f32 for
+# x > ~8.3e34. exp(80) = 5.5e34 keeps every split finite; the induced
+# error on a harmonically capped rate is ~k_max/5.5e34 (utterly
+# negligible), and uncapped rates above 5.5e34 are unphysical.
+_EXP_MAX = 80.0
+_EXP_MIN = -87.0   # exp(-87) = 1.6e-38 ~ f32 min normal; below -> 0
+
+
+def pair_exp(eh, el):
+    """exp(eh + el) as a renormalised f32 pair, ~5e-13 relative.
+
+    Inputs are f32 (pair or plain f32 with el = 0). Arguments above
+    +88 clamp (result 1.65e38 — callers capping k downstream see "huge");
+    below -87 the result is exactly (0, 0) (true value < 1.7e-38, below
+    any physically meaningful rate; avoids subnormal-flush noise).
+    """
+    e_approx = eh + el
+    clamped = jnp.clip(e_approx, jnp.float32(_EXP_MIN), jnp.float32(_EXP_MAX))
+    shift = clamped - e_approx            # 0 in range; pushes eh in range
+    eh = eh + shift                       # keeps pair consistent when clamped
+    n = jnp.round((eh + el) * jnp.float32(_EXP_INV_LN2))
+    # r = e - n*ln2, error-free: two_prod makes n*LN2_HI exact, two_sum
+    # keeps the large cancellation exact, and the residual terms are all
+    # <= ~5e-6 so their f32 accumulation errs at ~1e-13 absolute.
+    t1, e1 = two_prod(n, jnp.float32(_EXP_LN2_HI))
+    s1, s2 = two_sum(eh, -t1)
+    lo = ((s2 + el) - e1) - n * jnp.float32(_EXP_LN2_LO)
+    rh, rl = fast_two_sum(s1, lo)
+
+    # degree-12 f32 tail: g = sum_{k=6..12} r^(k-6)/k!, tail = r^6 * g
+    g = jnp.float32(_EXP_TAIL[0])
+    for c in _EXP_TAIL[1:]:
+        g = g * rh + jnp.float32(c)
+    p2h, p2l = pair_mul(rh, rl, rh, rl)   # r^2
+    tail = p2h * p2h * p2h * g            # r^6 g: <= 2.4e-6, f32 suffices
+
+    # pair Horner for 1 + r + r^2/2 + ... + r^5/120
+    qh = jnp.full_like(rh, jnp.float32(_EXP_C[0][0]))
+    ql = jnp.full_like(rh, jnp.float32(_EXP_C[0][1]))
+    for ch, cl in _EXP_C[1:]:
+        qh, ql = pair_mul(qh, ql, rh, rl)
+        qh, ql = pair_add(qh, ql, jnp.float32(ch), jnp.float32(cl))
+    for _ in range(2):                    # ... * r + 1, twice
+        qh, ql = pair_mul(qh, ql, rh, rl)
+        qh, ql = pair_add(qh, ql, jnp.float32(1.0), jnp.float32(0.0))
+    qh, ql = pair_add(qh, ql, tail, jnp.zeros_like(tail))
+
+    # exact 2^n scaling via the f32 exponent field; n in [-126, 127]
+    two_n = lax.bitcast_convert_type(
+        (n.astype(jnp.int32) + 127) << 23, jnp.float32)
+    kh = qh * two_n
+    kl = ql * two_n
+    dead = e_approx < jnp.float32(_EXP_MIN)
+    zero = jnp.zeros_like(kh)
+    return jnp.where(dead, zero, kh), jnp.where(dead, zero, kl)
 
 
 def pair_chop_slices(hi, lo):

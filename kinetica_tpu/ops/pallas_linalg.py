@@ -258,11 +258,11 @@ def _newton_solve_kernel(n_sweeps: int, m_ref, j_ref, bh_ref, bl_ref,
         active = act_ref[:] > 0.0
         dy32 = dyh + dyl
         Jdy = _ns_matvec(J, dy32)
-        ph, pl_ = dd.pair_mul(ch, cl, Jdy, zero)      # c * (J @ dy)
-        th, tl = dd.pair_add(dyh, dyl, -ph, -pl_)     # dy - c J dy
-        rh, rl = dd.pair_add(bh, bl, -th, -tl)        # b - (dy - c J dy)
+        ph, pl_ = dd.pair_mul(ch, cl, Jdy, zero, guard=False)      # c * (J @ dy)
+        th, tl = dd.pair_add(dyh, dyl, -ph, -pl_, guard=False)     # dy - c J dy
+        rh, rl = dd.pair_add(bh, bl, -th, -tl, guard=False)        # b - (dy - c J dy)
         corr = _ns_matvec(M, rh + rl)
-        uh, ul = dd.pair_add(dyh, dyl, corr, zero)
+        uh, ul = dd.pair_add(dyh, dyl, corr, zero, guard=False)
         dyh = jnp.where(active, uh, dyh)
         dyl = jnp.where(active, ul, dyl)
         dyh_ref[:] = dyh

@@ -358,7 +358,7 @@ def _fused_rates_slices(chunk, arity, e_refs, kh_ref, kl_ref, uh_ref, ul_ref):
             e_refs[s][:], ul_ref[:], (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        rh, rl = dd.pair_mul(rh, rl, suh, sul)
+        rh, rl = dd.pair_mul(rh, rl, suh, sul, guard=False)
     return dd.pair_chop_slices(rh, rl)
 
 

@@ -38,8 +38,11 @@ TF = 14.0
 def main():
     sd, rd, Ea, A = synthetic_pyrolysis_network(NC)
     calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
-    conditions = ConditionSet({"T": LinearGradientProfile(
-        rate=RATE, X_start=500.0, X_end=500.0 + RATE * TF)})
+    ts_update = os.environ.get("KINETICA_ATTRIB_TS_UPDATE")
+    conditions = ConditionSet(
+        {"T": LinearGradientProfile(
+            rate=RATE, X_start=500.0, X_end=500.0 + RATE * TF)},
+        **({"ts_update": float(ts_update)} if ts_update else {}))
     pars = ODESimulationParams(
         tspan=(0.0, TF), u0={f"C{NC}": 1.0},
         solve_chunks=True, solve_chunkstep=0.5,
@@ -47,7 +50,11 @@ def main():
         **({"jac_dtype": os.environ["KINETICA_ATTRIB_JAC_DTYPE"]}
            if "KINETICA_ATTRIB_JAC_DTYPE" in os.environ else {}),
         **({"rhs_contraction": os.environ["KINETICA_ATTRIB_CONTRACTION"]}
-           if "KINETICA_ATTRIB_CONTRACTION" in os.environ else {}))
+           if "KINETICA_ATTRIB_CONTRACTION" in os.environ else {}),
+        **({"lu_precision": os.environ["KINETICA_ATTRIB_LU_PRECISION"]}
+           if "KINETICA_ATTRIB_LU_PRECISION" in os.environ else {}),
+        **({"linsolve": os.environ["KINETICA_ATTRIB_LINSOLVE"]}
+           if "KINETICA_ATTRIB_LINSOLVE" in os.environ else {}))
     method = VariableODESolve(pars, conditions, calc)
     out = solve_network(method, sd, rd)
     s = out.sol.stats
