@@ -225,10 +225,20 @@ class EnsembleProblem:
                          for sym, (cls, sv) in classes.items()}
                 return calc(**bound)
 
+            if hasattr(calc, "rates_pair"):
+                def k_fn_pair(t, payload):
+                    bound = {sym: cls.value_theta(t, payload[sym], sv)
+                             for sym, (cls, sv) in classes.items()}
+                    return calc.rates_pair(**bound)
+            else:
+                k_fn_pair = None
+
             self._k_fn = k_fn
+            self._k_fn_pair = k_fn_pair
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net,
-                analytic_jac=pars.jac, contraction=contraction)
+                analytic_jac=pars.jac, contraction=contraction,
+                k_fn_pair=k_fn_pair)
             payload_axes = 0           # per-member theta dict
             stops_axes = 0             # per-member profile-kink stops
         if self._nr_pad and rate_mode == "continuous":
@@ -430,6 +440,7 @@ class EnsembleProblem:
         rate_mode = self.rate_mode
         npad = self._nr_pad
         k_fn = getattr(self, "_k_fn", None)
+        k_fn_pair = getattr(self, "_k_fn_pair", None)
         analytic = pars.jac
 
         def make_fns(net_l, jnet_l, *car):
@@ -452,7 +463,17 @@ class EnsembleProblem:
                     i = jax.lax.axis_index("model")
                     return jax.lax.dynamic_slice(k, (i * nr_loc,), (nr_loc,))
 
-            if pair_mode:
+            if pair_mode and rate_mode != "discrete" and k_fn_pair is not None:
+                # native pair rates: pad and shard-slice both words
+                def prepare(t_stage, t_start, a):
+                    kh, kl = k_fn_pair(t_stage + a[0], a[1])
+                    if npad:
+                        kh = jnp.pad(kh, (0, npad))
+                        kl = jnp.pad(kl, (0, npad))
+                    i = jax.lax.axis_index("model")
+                    return (jax.lax.dynamic_slice(kh, (i * nr_loc,), (nr_loc,)),
+                            jax.lax.dynamic_slice(kl, (i * nr_loc,), (nr_loc,)))
+            elif pair_mode:
                 def prepare(t_stage, t_start, a):
                     return pair_from_f64(prepare_raw(t_stage, t_start, a))
             else:

@@ -191,7 +191,8 @@ def _resolve_contraction(net: MassActionNetwork, pars=None):
 
 
 def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
-                  analytic_jac: bool = True, contraction=None):
+                  analytic_jac: bool = True, contraction=None,
+                  k_fn_pair=None):
     """Build ``(rhs, jac, prepare)`` for :func:`bdf.bdf_solve`.
 
     ``prepare(t_stage, t_start, args)`` evaluates the rate-constant vector
@@ -233,10 +234,19 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
         # prepare hook); rhs/jac then touch no f64 over the (nr,) axis —
         # the dominant in-situ cost of the emulated-f64 elementwise path.
         from ..ops.dd import pair_from_f64
-        inner_prepare = prepare
+        if k_fn_pair is not None and mode == "continuous":
+            # range-safe calculators produce the pair natively — skip
+            # the emulated-f64 materialise/re-split round trip entirely
+            def prepare(t_stage, t_start, a):
+                return k_fn_pair(t_stage + a[0])
+        elif k_fn_pair is not None and mode == "continuous_theta":
+            def prepare(t_stage, t_start, a):
+                return k_fn_pair(t_stage + a[0], a[1])
+        else:
+            inner_prepare = prepare
 
-        def prepare(t_stage, t_start, a):
-            return pair_from_f64(inner_prepare(t_stage, t_start, a))
+            def prepare(t_stage, t_start, a):
+                return pair_from_f64(inner_prepare(t_stage, t_start, a))
 
         if getattr(contraction, "supports_fused", False):
             # fully-fused Pallas RHS: gathers, pair products and the
@@ -324,8 +334,19 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
         "warm": (res.D, res.order, res.n_equal_steps)}
 
 
-def _make_continuous_k_fn(conditions: ConditionSet, calculator: KineticCalculator):
-    """Traceable t -> k vector embedding profile closed forms + calculator."""
+def _make_continuous_k_fn(conditions: ConditionSet, calculator: KineticCalculator,
+                          pair: bool = False):
+    """Traceable t -> k vector embedding profile closed forms + calculator.
+
+    ``pair=True`` returns the calculator's f32-pair rates directly
+    (``rates_pair``), letting pair-mode contractions skip the emulated-f64
+    materialise/re-split round trip in the per-attempt prepare hook."""
+    if pair:
+        def k_fn_pair(t):
+            conds = conditions.conditions_at(t)
+            return calculator.rates_pair(**conds)
+        return k_fn_pair
+
     def k_fn(t):
         conds = conditions.conditions_at(t)
         return calculator(**conds)
@@ -614,10 +635,13 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
         k_series = TimeSeries(tstops, k_table)
     else:
         k_fn = _make_continuous_k_fn(conditions, calc)
+        k_fn_pair = (_make_continuous_k_fn(conditions, calc, pair=True)
+                     if hasattr(calc, "rates_pair") else None)
         rhs, jac, prepare = _make_rhs_jac(net, "continuous", k_fn=k_fn,
                                           jac_net=jac_net,
                                           analytic_jac=pars.jac,
-                                          contraction=contraction)
+                                          contraction=contraction,
+                                          k_fn_pair=k_fn_pair)
         payload = None
         global_stops = np.asarray(conditions.get_tstops())
 
