@@ -112,3 +112,40 @@ def scipy_bdf_baseline(sd, rd, calc, profile, tspan, u0, rtol, atol,
         dt = min(dt, time.perf_counter() - t0)
         assert sol.success, "CPU baseline failed"
     return dt, sol.y[:, -1]
+
+
+def scipy_bdf_chunked_baseline(sd, rd, calc, profile, tspan, u0, rtol, atol,
+                               n_chunks: int = 40, best_of: int = 3):
+    """Chunkwise-local-time scipy BDF — the reference's long-timescale
+    formalism on CPU; returns ``(best_seconds, final_y)``.
+
+    A plain global-time BDF cannot finish long stiff horizons: once
+    t ~ 1e5 the required h drops below eps*t (scipy aborts with
+    "Required step size is less than spacing between numbers" — measured
+    at t ~ 6e4 on the 1095-reaction north-star ramp). The reference
+    solves this by integrating each chunk in LOCAL time
+    (implementation-details.md:28); this baseline does the same so the
+    CPU side competes under its own best formalism.
+    """
+    import time
+
+    from scipy.integrate import solve_ivp
+
+    rhs_f, jac_f = build_numpy_mass_action(sd, rd)
+    k_of_t = arrhenius_k_of_t(calc, profile)
+    t_lo, t_hi = float(tspan[0]), float(tspan[1])
+    chunkstep = (t_hi - t_lo) / n_chunks
+    dt_best = float("inf")
+    for _ in range(best_of):
+        u = np.asarray(u0, float)
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            off = t_lo + c * chunkstep
+            k_local = (lambda off: lambda t: k_of_t(off + t))(off)
+            sol = solve_ivp(rhs_f(k_local), (0.0, chunkstep), u,
+                            method="BDF", jac=jac_f(k_local),
+                            rtol=rtol, atol=atol)
+            assert sol.success, f"CPU chunked baseline failed at chunk {c}"
+            u = sol.y[:, -1]
+        dt_best = min(dt_best, time.perf_counter() - t0)
+    return dt_best, u

@@ -67,13 +67,18 @@ print(f"1e5s sweep: {dt/B*1e3:.1f} ms/profile (warm incl compile "
       f"{int(np.median(steps))}; carbon drift {drift:.2e}")
 sys.stdout.flush()
 
-# CPU reference at the same config (single profile, pure numpy, best-of-3)
+# CPU reference at the same config (single profile, pure numpy, best-of-3).
+# NOTE a plain global-time scipy BDF CANNOT finish this horizon: h
+# underflows f64 spacing at t ~ 6e4 s ("Required step size is less than
+# spacing between numbers") — the exact failure the chunkwise-local-time
+# formalism avoids. The baseline therefore runs scipy under the same
+# chunkwise formalism (the reference's own CPU approach).
 from kinetica_tpu.solving.solve_utils import make_u0  # noqa: E402
-from kinetica_tpu.testing.cpu_reference import scipy_bdf_baseline  # noqa: E402
+from kinetica_tpu.testing.cpu_reference import scipy_bdf_chunked_baseline  # noqa: E402
 
-cpu_dt, cpu_final = scipy_bdf_baseline(
+cpu_dt, cpu_final = scipy_bdf_chunked_baseline(
     sd, rd, calc, conditions_list[0].get_profile("T"), pars.tspan,
-    make_u0(sd, pars), pars.reltol, pars.abstol)
+    make_u0(sd, pars), pars.reltol, pars.abstol, n_chunks=40, best_of=3)
 err = np.max(np.abs(np.asarray(ens.u[0, -1]) - cpu_final)
              / max(cpu_final.sum(), 1.0))
 print(f"CPU BDF single profile: {cpu_dt:.2f}s -> per-profile speedup "
