@@ -85,6 +85,9 @@ class BDFState(NamedTuple):
     bruised: jnp.ndarray      # recent Newton failure: limit h regrowth
     h_ncf: jnp.ndarray        # Newton-failure step ceiling (decays upward)
     trace: jnp.ndarray = None  # (_TRACE_STEPS, 8) attempt log (diagnosis)
+    # chunked (async multi-chunk) mode only — see bdf_solve(chunks=...):
+    nc: jnp.ndarray = None     # current chunk index (int32)
+    ys_all: jnp.ndarray = None  # (n_chunks, n_save, ns) completed-chunk saves
 
 
 class BDFResults(NamedTuple):
@@ -221,7 +224,7 @@ def select_initial_step(rhs, t0, y0, f0, tf, rtol, atol):
 @partial(jax.jit, static_argnames=("rhs", "jac", "max_steps", "nonnegative",
                                    "nonnegative_project", "lu_precision",
                                    "refine", "linsolve", "jac_policy",
-                                   "prepare", "lu_drift_tol"))
+                                   "prepare", "lu_drift_tol", "chunks"))
 def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               t0, tf, saveat: jnp.ndarray,
               rtol=1e-8, atol=1e-10,
@@ -237,7 +240,9 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
               lu_drift_tol: float = 0.1,
               prepare: Callable | None = None,
               warm_start=None,
-              args=None) -> BDFResults:
+              args=None,
+              chunks: int | None = None,
+              chunk_offsets: jnp.ndarray | None = None) -> BDFResults:
     """Integrate ``dy/dt = rhs(t, y, args)`` from t0 to tf with BDF(1-5).
 
     Args:
@@ -276,6 +281,28 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         every reaction per Newton iteration dominated the measured step
         cost on TPU. With ``prepare`` given, ``rhs``/``jac`` are called as
         ``fn(t, y, pre)`` and the hook runs once per step attempt.
+      chunks: enable ASYNC-CHUNK mode — integrate ``chunks`` consecutive
+        chunkwise-local-time segments of [t0, tf] inside ONE while_loop,
+        performing the chunk transition (save-buffer dump, local-time
+        reset, warm method-state carry) per lane inside the loop body.
+        Motivation: a vmapped per-chunk loop synchronises every lane on
+        the slowest lane of EACH chunk, executing sum_c(max_lane steps)
+        iterations; measured on the production sweep that is 1.49x the
+        async bound max_lane(sum_c steps) (scripts/attrib_sync_steps.py).
+        Requirements: ``prepare`` given, ``warm_start`` None, ``stops``
+        2-D with shape (chunks, n_stops_row) in CHUNK-LOCAL time (an
+        extra +inf guard column is appended internally so a full row can
+        never leak into the next chunk's stops), and ``chunk_offsets`` a
+        (chunks,) vector of global time offsets threaded to ``prepare``
+        as ``args[0]`` (prepare sees ``(chunk_offsets[nc], args)``).
+        ``saveat`` is the per-chunk local grid; results ``ys`` gain a
+        leading (chunks,) axis. ``max_steps`` bounds the TOTAL step count
+        across all chunks. The method state (D, order, h, J, LU, h_ncf)
+        carries across transitions — J/LU staleness across a boundary is
+        handled by the same drift/refresh machinery that handles it
+        between steps. Strictly-better-than-parity note as for
+        ``warm_start`` (the reference's reinit! cold-restarts each chunk,
+        methods.jl:819).
     """
     import inspect
 
@@ -296,17 +323,30 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             return lambda t, y, t_start: fn(t, y, args)
         return lambda t, y, t_start: fn(t, y)
 
+    chunked = chunks is not None
+    if chunked and (prepare is None or chunk_offsets is None
+                    or warm_start is not None):
+        raise ValueError("chunks= mode requires prepare and chunk_offsets, "
+                         "and is incompatible with warm_start")
     if prepare is not None:
         # rhs/jac have signature (t, y, pre); thread pre through the
-        # t_start slot of the internal convention.
+        # t_start slot of the internal convention. _prep takes the chunk
+        # index as a third arg (ignored outside chunked mode).
         user_rhs, user_jac = rhs, jac
         rhs = lambda t, y, pre: user_rhs(t, y, pre)
         jac = lambda t, y, pre: user_jac(t, y, pre)
-        _prep = lambda t_stage, t_start: prepare(t_stage, t_start, args)
+        if chunked:
+            _offsets = jnp.asarray(chunk_offsets)
+            _prep = lambda t_stage, t_start, nc: prepare(
+                t_stage, t_start, (_offsets[jnp.minimum(nc, chunks - 1)],
+                                   args))
+        else:
+            _prep = lambda t_stage, t_start, nc: prepare(t_stage, t_start,
+                                                         args)
     else:
         rhs = _adapt(rhs)
         jac = _adapt(jac)
-        _prep = lambda t_stage, t_start: t_start
+        _prep = lambda t_stage, t_start, nc: t_start
     dtype = y0.dtype
     # Precision policy: STATE (y, D, J, LU, norms) in the solve dtype; TIME
     # (t, h, saveat, stops) always in f64 when available. Time variables
@@ -322,7 +362,24 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     atol = jnp.asarray(atol, dtype)
     saveat = jnp.asarray(saveat, tdtype)
     n_save = saveat.shape[0]
-    if stops is None:
+    if chunked:
+        # Per-chunk stop rows in chunk-local time, flattened with an +inf
+        # guard column so a fully-populated row can never leak the next
+        # chunk's stops into this chunk (stop_ptr only advances on a hit,
+        # and a hit on +inf is impossible).
+        if stops is None:
+            stops = jnp.full((chunks, 1), jnp.inf, dtype=tdtype)
+        else:
+            stops = jnp.asarray(stops, tdtype)
+            if stops.ndim != 2 or stops.shape[0] != chunks:
+                raise ValueError("chunked stops must have shape "
+                                 f"({chunks}, n_stops_row)")
+        stops = jnp.concatenate(
+            [stops, jnp.full((chunks, 1), jnp.inf, dtype=tdtype)], axis=1)
+        n_stops_row = stops.shape[1]
+        _stops2d = stops
+        stops = stops.reshape(-1)
+    elif stops is None:
         stops = jnp.full((1,), jnp.inf, dtype=tdtype)
     else:
         stops = jnp.asarray(stops, tdtype)
@@ -342,7 +399,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                              jnp.minimum(0.03, rtol ** 0.5)).astype(f32)
     eps = jnp.finfo(tdtype).eps
 
-    pre0 = _prep(t0, t0)
+    nc0 = jnp.asarray(0, jnp.int32)
+    pre0 = _prep(t0, t0, nc0)
     f0 = rhs(t0, y0, pre0)
     if first_step is None:
         fs_ok = jnp.asarray(False)
@@ -429,7 +487,17 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     lu0, piv0 = fact0.lu, fact0.piv
 
     tspan_scale = jnp.maximum(jnp.abs(tf), 1.0)
-    stop_ptr0 = jnp.searchsorted(stops, t0 + 4 * eps * tspan_scale, side="left")
+    if chunked:
+        # initial in-row stop offset per chunk (rows are chunk-local, all
+        # starting at t0) — reused by the in-loop chunk transition
+        row_ptr0 = jax.vmap(
+            lambda r: jnp.searchsorted(r, t0 + 4 * eps * tspan_scale,
+                                       side="left"))(_stops2d
+                                                     ).astype(jnp.int32)
+        stop_ptr0 = row_ptr0[0]
+    else:
+        stop_ptr0 = jnp.searchsorted(stops, t0 + 4 * eps * tspan_scale,
+                                     side="left")
     save_ptr0 = jnp.searchsorted(saveat, t0, side="right")
 
     state0 = BDFState(
@@ -448,6 +516,8 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         h_ncf=jnp.asarray(jnp.inf, tdtype),
         trace=(jnp.zeros((_TRACE_STEPS, 8), jnp.float32)
                if _TRACE_STEPS else None),
+        nc=nc0,
+        ys_all=(jnp.zeros((chunks, n_save, ns), dtype) if chunked else None),
     )
 
     def newton_iterate(t_new, pre, y_pred, c, psi, scale, fact):
@@ -600,7 +670,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         c = h / alpha_t[order]          # time dtype (h may be < f32 tiny)
         c_state = c.astype(dtype)       # state-dtype copy for Newton algebra
 
-        pre = _prep(t_new, t)
+        pre = _prep(t_new, t, s.nc)
         if jac_policy == "always":
             # Optional policy: evaluate J and refactor at EVERY step
             # attempt. Under vmap, lax.cond lowers to select-with-both-
@@ -897,14 +967,59 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     def loop_cond(s: BDFState):
         return s.status == RUNNING
 
-    def loop_body(s: BDFState):
-        # Guarded so vmapped lanes that are already done stay frozen.
-        return lax.cond(s.status == RUNNING, step_attempt, lambda x: x, s)
+    if chunked:
+        def chunk_transition(s: BDFState) -> BDFState:
+            """Per-lane advance to the next chunk, inside the loop body.
+
+            The warm carry is the state itself: D/order/h/J/LU/h_ncf ride
+            through unchanged (only D is rescaled in the rare case the
+            carried h exceeds the chunk span). Local time resets to t0 and
+            the save buffer is dumped into this chunk's ys_all slot.
+            """
+            ys_all = lax.dynamic_update_slice(
+                s.ys_all, s.ys[None],
+                (s.nc, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+            nc2 = s.nc + 1
+            span = tf - t0
+            h2 = jnp.minimum(s.h, span)
+            shrink = h2 < s.h
+            D2 = jnp.where(shrink,
+                           _change_D(s.D, s.order, jnp.where(shrink,
+                                                             h2 / s.h, 1.0)),
+                           s.D)
+            stop_ptr2 = (nc2 * n_stops_row
+                         + row_ptr0[jnp.minimum(nc2, chunks - 1)])
+            return s._replace(
+                t=t0, h=h2, D=D2, nc=nc2,
+                ys=jnp.zeros_like(s.ys), ys_all=ys_all,
+                save_ptr=save_ptr0.astype(jnp.int32),
+                stop_ptr=stop_ptr2.astype(jnp.int32),
+                status=jnp.asarray(RUNNING, jnp.int32),
+                n_equal_steps=jnp.where(shrink, 0,
+                                        s.n_equal_steps).astype(jnp.int32))
+
+        def loop_body(s: BDFState):
+            s = lax.cond(s.status == RUNNING, step_attempt, lambda x: x, s)
+            do_trans = (s.status == DONE) & (s.nc < chunks - 1)
+            return lax.cond(do_trans, chunk_transition, lambda x: x, s)
+    else:
+        def loop_body(s: BDFState):
+            # Guarded so vmapped lanes that are already done stay frozen.
+            return lax.cond(s.status == RUNNING, step_attempt, lambda x: x, s)
 
     final = lax.while_loop(loop_cond, loop_body, state0)
 
+    if chunked:
+        # The final chunk (or the chunk a failed lane died in) is still in
+        # the local buffer — dump it into its slot.
+        ys_out = lax.dynamic_update_slice(
+            final.ys_all, final.ys[None],
+            (final.nc, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+    else:
+        ys_out = final.ys
+
     return BDFResults(
-        ys=final.ys, status=final.status, t=final.t, y_final=final.D[0],
+        ys=ys_out, status=final.status, t=final.t, y_final=final.D[0],
         h=final.h, order=final.order,
         n_steps=final.n_steps, n_accepted=final.n_accepted,
         n_rejected=final.n_rejected, n_fev=final.n_fev,

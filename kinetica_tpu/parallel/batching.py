@@ -125,7 +125,13 @@ class EnsembleProblem:
         dry-runs), "host" dispatches one device call per chunk, "group"
         scans ``pars.chunks_per_dispatch`` chunks (None = the shared
         auto value: all chunks on CPU, 32 on accelerators) per device
-        call. "auto" picks group on accelerators and scan on CPU.
+        call, "async" runs the whole horizon in one device program with
+        per-lane in-loop chunk transitions (bdf chunks= mode) — lanes
+        advance through chunks independently, avoiding the per-chunk
+        slowest-lane synchronisation the other modes pay (measured
+        1.49x of the production sweep's step iterations;
+        scripts/attrib_sync_steps.py). "auto" picks group on
+        accelerators and scan on CPU.
         Per-chunk ("host") dispatch relies on the runtime pipelining
         each dispatch's fixed overhead with the previous execution —
         true on a fast link (~3% of a wash vs group), but on a
@@ -152,13 +158,17 @@ class EnsembleProblem:
         if chunk_mode == "auto":
             if model_shards:
                 chunk_mode = "scan"   # the shard_map program is scan-form
+            elif jax.default_backend() == "cpu":
+                chunk_mode = "scan"
             else:
-                chunk_mode = ("scan" if jax.default_backend() == "cpu"
-                              else "group")
+                # accelerators: async beats group 123.5 -> 104.2
+                # ms/profile on the production sweep (less per-chunk
+                # slowest-lane synchronisation; scripts/attrib_production)
+                chunk_mode = "async"
         if model_shards and chunk_mode != "scan":
             raise ValueError("model-axis sharded solves support "
                              "chunk_mode='scan' only")
-        if chunk_mode not in ("scan", "host", "group"):
+        if chunk_mode not in ("scan", "host", "group", "async"):
             raise ValueError(f"unknown chunk_mode {chunk_mode!r}")
         self.chunk_mode = chunk_mode
         if rate_mode not in ("discrete", "continuous"):
@@ -266,8 +276,8 @@ class EnsembleProblem:
         self._payload_axes = payload_axes
         self._stops_axes = stops_axes
 
-        member, member_chunk, member_group = self._member_builders(
-            self.rhs, self.jac, self.prepare)
+        member, member_chunk, member_group, member_async = \
+            self._member_builders(self.rhs, self.jac, self.prepare)
 
         # tolerances are per-member (B,) vectors: the adaptive retry loop
         # tightens only the failed lanes (see solve()), so tol axes are 0
@@ -287,6 +297,10 @@ class EnsembleProblem:
                      in_axes=(0, 0, 0, payload_axes,
                               None if stops_axes is None else 0,
                               None, 0, 0)))
+
+        self._solve_fn_async = jax.jit(
+            jax.vmap(member_async, in_axes=(0, payload_axes, stops_axes,
+                                            0, 0)))
 
         self._mesh = mesh
         self._batch_multiple = 1
@@ -365,7 +379,33 @@ class EnsembleProblem:
                 (ncs, stops_rows))
             return u_f, h_f, warm_f, worst, ys, jnp.sum(steps)
 
-        return member, member_chunk, member_group
+        n_chunks = self.n_chunks
+        chunk_offsets = jnp.asarray(chunk_ids * chunkstep)
+
+        def member_async(u0, payload, stops_rows, abstol, reltol):
+            """Whole-horizon solve in ONE while_loop (bdf chunks= mode).
+
+            Unlike the scan/group/host members, lanes advance through
+            their chunks independently — a vmapped batch pays
+            max_lane(total steps) synchronous iterations instead of
+            sum_chunks(max_lane steps), a measured 1.49x on the
+            production sweep (scripts/attrib_sync_steps.py). maxiters
+            bounds the TOTAL step count across the horizon here.
+            """
+            res = bdf.bdf_solve(
+                rhs, jac, u0, 0.0, chunkstep, saveat_j,
+                rtol=reltol, atol=abstol, stops=stops_rows,
+                max_steps=int(pars_ref.maxiters),
+                nonnegative=pars_ref.ban_negatives,
+                nonnegative_project=pars_ref.project_negatives,
+                lu_precision=pars_ref.lu_precision,
+                linsolve=getattr(pars_ref, "linsolve", "auto"),
+                lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
+                prepare=prepare, args=payload,
+                chunks=n_chunks, chunk_offsets=chunk_offsets)
+            return res.status, res.ys, res.n_steps
+
+        return member, member_chunk, member_group, member_async
 
     @staticmethod
     def _warm0_batched(u0s_j):
@@ -528,7 +568,7 @@ class EnsembleProblem:
 
         def body(u0_l, payload_l, stops_l, at_l, rt_l, net_l, jnet_l, *car):
             rhs, jac, prepare = make_fns(net_l, jnet_l, *car)
-            member, _, _ = self._member_builders(rhs, jac, prepare)
+            member, _, _, _ = self._member_builders(rhs, jac, prepare)
             return jax.vmap(member,
                             in_axes=(0, payload_axes, stops_axes, 0, 0))(
                 u0_l, payload_l, stops_l, at_l, rt_l)
@@ -647,7 +687,9 @@ class EnsembleProblem:
             statuses = np.asarray(worst)
             ys = jnp.concatenate(ys_groups, axis=1)
         else:
-            fn = self._solve_fn_sharded if sharded else self._solve_fn
+            fn = (self._solve_fn_sharded if sharded
+                  else self._solve_fn_async if self.chunk_mode == "async"
+                  else self._solve_fn)
             statuses, ys, steps = fn(
                 u0s_j, payload, stops_rows, abstol_j, reltol_j)
             statuses = np.asarray(statuses)

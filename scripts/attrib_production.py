@@ -90,6 +90,13 @@ VARIANTS = {
     "chunkstep=1.0": dict(chunkstep=1.0, save_interval=1.0),
     "chunkstep=2.0": dict(chunkstep=2.0, save_interval=2.0),
     "inv_fused": dict(linsolve="inv_fused"),
+    # whole horizon in ONE while_loop with per-lane chunk transitions:
+    # pays max_lane(total steps) sync iterations instead of
+    # sum_chunks(max_lane steps) — the 1.49x straggler rotation measured
+    # by attrib_sync_steps.py
+    "async": dict(chunk_mode="async"),
+    "async(chunkstep=2.0)": dict(chunk_mode="async", chunkstep=2.0,
+                                 save_interval=2.0),
 }
 
 

@@ -130,6 +130,84 @@ class TestBDFBatching:
                                        np.asarray(single.ys), rtol=1e-9, atol=1e-14)
 
 
+class TestBDFChunked:
+    """Async-chunk mode (``chunks=``): the whole chunkwise-local-time
+    horizon in one while_loop with in-loop chunk transitions."""
+
+    @staticmethod
+    def _decay_fns():
+        # dy/dt = -k(t_global) y with k(t) = 1 + 0.5 t; exact
+        # y(t) = exp(-(t + t^2/4))
+        def prepare(t_stage, t_start, a):
+            off, _ = a
+            return 1.0 + 0.5 * (off + t_stage)
+
+        def rhs(t, y, pre):
+            return -pre * y
+
+        def jac(t, y, pre):
+            return -pre * jnp.eye(1, dtype=y.dtype)
+
+        return prepare, rhs, jac
+
+    def test_chunked_matches_exact(self):
+        prepare, rhs, jac = self._decay_fns()
+        saveat = jnp.array([0.5, 1.0])
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1.0, saveat,
+                        rtol=1e-10, atol=1e-12, prepare=prepare,
+                        chunks=4, chunk_offsets=jnp.arange(4.0))
+        assert int(res.status) == DONE
+        assert res.ys.shape == (4, 2, 1)
+        tq = (np.arange(4)[:, None] + np.array([0.5, 1.0])[None]).reshape(-1)
+        exact = np.exp(-(tq + 0.25 * tq ** 2))
+        np.testing.assert_allclose(np.asarray(res.ys).reshape(-1), exact,
+                                   rtol=1e-7)
+        # step counters accumulate across the whole horizon
+        assert int(res.n_steps) > 4
+
+    def test_chunked_full_stop_rows_guarded(self):
+        """Fully-populated chunk-local stop rows must not leak the next
+        chunk's stops into this chunk (internal +inf guard column)."""
+        tstops = jnp.asarray(np.arange(0, 4.0, 0.5))
+        kvals = np.where(np.arange(8) % 2 == 0, 1.0, 3.0)
+        ktab = jnp.asarray(kvals)[:, None]
+
+        def prepare(t_stage, t_start, a):
+            off, _ = a
+            return left_constant_lookup(off + t_start, tstops, ktab)[0]
+
+        def rhs(t, y, pre):
+            return -pre * y
+
+        def jac(t, y, pre):
+            return -pre * jnp.eye(1, dtype=y.dtype)
+
+        rows = jnp.full((4, 1), 0.5)   # one interior stop, NO inf padding
+        saveat = jnp.array([0.5, 1.0])
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1.0, saveat,
+                        rtol=1e-10, atol=1e-12, stops=rows, prepare=prepare,
+                        chunks=4, chunk_offsets=jnp.arange(4.0))
+        assert int(res.status) == DONE
+        cum = np.concatenate([[0.0], np.cumsum(kvals * 0.5)])
+        exact = np.exp(-cum[1:9])      # states at t = 0.5, 1.0, ..., 4.0
+        np.testing.assert_allclose(np.asarray(res.ys).reshape(-1), exact,
+                                   rtol=1e-6)
+
+    def test_chunked_max_steps_bounds_total(self):
+        prepare, rhs, jac = self._decay_fns()
+        res = bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1.0,
+                        jnp.array([1.0]), rtol=1e-12, atol=1e-14,
+                        prepare=prepare, max_steps=6,
+                        chunks=8, chunk_offsets=jnp.arange(8.0))
+        assert int(res.status) != DONE
+
+    def test_chunked_requires_prepare_and_offsets(self):
+        _, rhs, jac = self._decay_fns()
+        with pytest.raises(ValueError, match="chunks="):
+            bdf_solve(rhs, jac, jnp.array([1.0]), 0.0, 1.0,
+                      jnp.array([1.0]), chunks=4)
+
+
 class TestBDFOptions:
     def test_nonnegative(self):
         # Aggressive decay that can overshoot below zero without the guard

@@ -278,9 +278,9 @@ class TestContinuousEnsemble:
 
 
 def test_group_chunk_mode_matches_scan():
-    """chunk_mode='group' (accelerator default: grouped chunk scans per
-    dispatch) produces the same trajectories as one full scan, including
-    an uneven final group."""
+    """chunk_mode='group' (grouped chunk scans per dispatch) produces the
+    same trajectories as one full scan, including an uneven final
+    group."""
     from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
     from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
 
@@ -301,6 +301,39 @@ def test_group_chunk_mode_matches_scan():
         assert ens.success
         results.append(np.asarray(ens.u))
     np.testing.assert_array_equal(results[0], results[1])
+
+
+@pytest.mark.parametrize("rate_mode", ["discrete", "continuous"])
+def test_async_chunk_mode_matches_scan(rate_mode):
+    """chunk_mode='async' (whole horizon in one while_loop, per-lane
+    in-loop chunk transitions) reproduces the scan-mode trajectories.
+
+    Not bitwise: async carries J/LU across chunk boundaries where scan
+    re-evaluates them at each chunk start, so step-size decisions differ
+    — but both integrate to the same tolerances, so trajectories must
+    agree at rtol-level.
+    """
+    from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    kwargs = {"ts_update": 0.25} if rate_mode == "discrete" else {}
+    conds = [ConditionSet({"T": LinearGradientProfile(
+        rate=r, X_start=600.0, X_end=600.0 + r * 7.0)}, **kwargs)
+        for r in (40.0, 55.0)]
+    results = []
+    for mode in ("scan", "async"):
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        pars = ODESimulationParams(tspan=(0.0, 7.0), u0={"C6": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none")
+        prob = EnsembleProblem(VariableODESolve(pars, conds[0], calc),
+                               sd, rd, chunk_mode=mode, rate_mode=rate_mode)
+        ens = prob.solve(conditions_list=conds)
+        assert ens.success
+        results.append(np.asarray(ens.u))
+    scale = np.max(np.abs(results[0]))
+    assert np.max(np.abs(results[0] - results[1])) < 1e-6 * scale
 
 
 class TestEnsembleAdaptiveRetry:
