@@ -199,6 +199,7 @@ def device_phase(result_path, cpu_final_path, platform):
             "steps_median": steps_median,
             "ms_per_step": ms_per_step,
             "crn": f"{rd.nr}rxn/{sd.n}sp",
+            "chunk_mode": problem.chunk_mode,
         }, fh)
 
 
@@ -283,6 +284,7 @@ def main():
             "steps_median": res["steps_median"],
             "ms_per_step": (round(res["ms_per_step"], 3)
                             if res["ms_per_step"] is not None else None),
+            "chunk_mode": res.get("chunk_mode"),
         }
         if fell_back:
             out["error"] = ("tpu_unavailable: measured on JAX CPU platform "
