@@ -160,6 +160,11 @@ class EnsembleProblem:
                 chunk_mode = "scan"   # the shard_map program is scan-form
             elif jax.default_backend() == "cpu":
                 chunk_mode = "scan"
+            elif pars.progress:
+                # live progress needs dispatch granularity (the reference
+                # drives ProgressLogging bars through the solve loop,
+                # methods.jl:248-254) — async is a single opaque dispatch
+                chunk_mode = "group"
             else:
                 # accelerators: async beats group 123.5 -> 104.2
                 # ms/profile on the production sweep (less per-chunk
