@@ -125,7 +125,14 @@ class VariableProfile(AbstractProfile):
         t = create_savepoints(pars.tspan[0], pars.tspan[1], save_interval)
         if len(self.tstops):
             t = np.unique(np.concatenate([t, np.asarray(self.tstops, dtype=np.float64)]))
-        u = np.asarray(self.value(jnp.asarray(t)), dtype=np.float64)
+        # Tabulation is host work: pin it to the CPU backend so a remote
+        # accelerator (if registered) is not hit with one tunnel dispatch
+        # per profile (~25-45 ms each when batching ensembles).
+        import jax
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            u = np.asarray(self.value(jax.device_put(t, cpu)),
+                           dtype=np.float64)
         self.sol = TimeSeries(t, u)
 
     def minimum(self) -> float:

@@ -667,8 +667,12 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
     # --- variable-condition traces at the save times (ODESolutionVC parity) ---
     vcs = {}
     if is_variable:
-        for sym, prof in conditions.get_variable_profiles().items():
-            vcs[sym] = np.asarray(prof.value(jnp.asarray(ts)), dtype=np.float64)
+        # host-side trace assembly: keep off a remote accelerator backend
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ts_cpu = jax.device_put(np.asarray(ts), cpu)
+            for sym, prof in conditions.get_variable_profiles().items():
+                vcs[sym] = np.asarray(prof.value(ts_cpu), dtype=np.float64)
 
     sol = ODESolution(t=ts, u=ys, retcode=retcode_from_status(status),
                       vcs=vcs, k=k_series, stats=stats)
