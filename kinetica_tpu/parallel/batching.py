@@ -343,6 +343,7 @@ class EnsembleProblem:
                 lu_precision=pars_ref.lu_precision,
                 linsolve=getattr(pars_ref, "linsolve", "auto"),
                 lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
+                jac_policy=getattr(pars_ref, "jac_policy", "lazy"),
                 first_step=h_prev, prepare=prepare,
                 warm_start=warm if use_warm else None,
                 args=(nc * chunkstep, payload))
@@ -413,6 +414,7 @@ class EnsembleProblem:
                 lu_precision=pars_ref.lu_precision,
                 linsolve=getattr(pars_ref, "linsolve", "auto"),
                 lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
+                jac_policy=getattr(pars_ref, "jac_policy", "lazy"),
                 prepare=prepare, args=payload,
                 chunks=n_chunks, chunk_offsets=chunk_offsets)
             return res.status, res.ys, res.n_steps

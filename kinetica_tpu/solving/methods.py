@@ -117,6 +117,7 @@ class KineticIntegrator:
             lu_precision=self.pars.lu_precision,
             linsolve=getattr(self.pars, "linsolve", "auto"),
             lu_drift_tol=getattr(self.pars, "lu_drift_tol", 0.1),
+            jac_policy=getattr(self.pars, "jac_policy", "lazy"),
             prepare=self.prepare,
             args=self.args)
 
@@ -326,6 +327,7 @@ def _integrate(pars: ODESimulationParams, rhs, jac, u0, t0, tf, saveat,
         lu_precision=pars.lu_precision, first_step=first_step,
         linsolve=getattr(pars, "linsolve", "auto"),
         lu_drift_tol=getattr(pars, "lu_drift_tol", 0.1),
+                jac_policy=getattr(pars, "jac_policy", "lazy"),
         prepare=prepare, warm_start=warm_start, args=args)
     return res.status, res.ys, res.y_final, {
         "n_steps": res.n_steps, "n_accepted": res.n_accepted,

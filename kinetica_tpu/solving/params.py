@@ -64,6 +64,13 @@ class ODESimulationParams:
     # through per-solve refinement). Wider = fewer refactors, but the
     # worst batch lane's step count grows past ~0.25.
     lu_drift_tol: float = 0.1
+    # Newton-matrix policy: "lazy" (default) caches J/LU and refreshes on
+    # drift or Newton failure; "always" evaluates J and refactors at every
+    # step attempt. At large batch the lazy gates fire almost every
+    # iteration collectively anyway (any-lane probability ~1 at B=64), so
+    # "always" can trade ~zero extra cost for fewer stale-J retries —
+    # measure per workload.
+    jac_policy: str = "lazy"
     # Concentration floor of the smooth nonnegative clip applied to u
     # before rate evaluation (models.mass_action._clip_pos): species
     # within ~clip_delta of zero see smoothly damped rates (~27% at
@@ -128,6 +135,9 @@ class ODESimulationParams:
 
         if not (0.0 <= self.lu_drift_tol < 1.0):
             raise ValueError("lu_drift_tol must be in [0, 1)")
+
+        if self.jac_policy not in ("lazy", "always"):
+            raise ValueError("jac_policy must be one of ['lazy', 'always']")
 
         if isinstance(self.clip_delta, str):
             if self.clip_delta != "auto":

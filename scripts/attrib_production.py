@@ -40,7 +40,7 @@ TF = 14.0
 
 def run(name, chunk_mode="host", rate_mode="continuous", chunkstep=0.5,
         save_interval=None, linsolve="auto", ts_update=0.02,
-        chunks_per_dispatch=None):
+        chunks_per_dispatch=None, jac_policy="lazy"):
     sd, rd, Ea, A = synthetic_pyrolysis_network(NC)
     calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
     rates = np.linspace(40.0, 60.0, B)
@@ -53,7 +53,7 @@ def run(name, chunk_mode="host", rate_mode="continuous", chunkstep=0.5,
         tspan=(0.0, TF), u0={f"C{NC}": 1.0},
         solve_chunks=True, solve_chunkstep=chunkstep,
         low_k_cutoff="none", abstol=1e-10, reltol=1e-8,
-        linsolve=linsolve, progress=False,
+        linsolve=linsolve, progress=False, jac_policy=jac_policy,
         **({"save_interval": save_interval} if save_interval else {}),
         **({"chunks_per_dispatch": chunks_per_dispatch}
            if chunks_per_dispatch else {}))
@@ -95,6 +95,10 @@ VARIANTS = {
     # sum_chunks(max_lane steps) — the 1.49x straggler rotation measured
     # by attrib_sync_steps.py
     "async": dict(chunk_mode="async"),
+    # at B=64 the lazy gates fire nearly every iteration collectively
+    # (any-lane probability ~1), so "always" may cost ~nothing while
+    # avoiding stale-J Newton retries
+    "async(jac=always)": dict(chunk_mode="async", jac_policy="always"),
     "async(chunkstep=2.0)": dict(chunk_mode="async", chunkstep=2.0,
                                  save_interval=2.0),
 }

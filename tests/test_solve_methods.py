@@ -350,6 +350,30 @@ def test_linsolve_param_reaches_solver():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_jac_policy_param():
+    """jac_policy="always" (J+LU at every attempt) matches the default
+    lazy-cache policy on a chunkwise variable-T solve; bad values are
+    rejected at construction."""
+    with pytest.raises(ValueError, match="jac_policy"):
+        ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0},
+                            jac_policy="sometimes")
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+    sd, rd, Ea, A = synthetic_pyrolysis_network(5)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    conditions = ConditionSet(
+        {"T": LinearGradientProfile(rate=50.0, X_start=500.0, X_end=600.0)})
+    common = dict(tspan=(0.0, 2.0), u0={"C5": 1.0}, solve_chunks=True,
+                  solve_chunkstep=0.5, low_k_cutoff="none")
+    outs = []
+    for pol in ("lazy", "always"):
+        res = solve_network(
+            VariableODESolve(ODESimulationParams(jac_policy=pol, **common),
+                             conditions, calc), sd, rd, copy_network=True)
+        assert res.sol.success
+        outs.append(np.asarray(res.sol.u))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-6, atol=1e-8)
+
+
 class TestJacSparseParams:
     """pars.jac / pars.sparse have defined behaviour (params.jl:55-110)."""
 
