@@ -60,6 +60,8 @@ def __getattr__(name):
         "load_sensitivities": "kinetica_tpu.solving.sensitivity",
         "solve_network_ensemble": "kinetica_tpu.parallel.batching",
         "solve_adjoint_gradient": "kinetica_tpu.solving.adjoint",
+        "morris_screening": "kinetica_tpu.analysis.screening",
+        "MorrisResult": "kinetica_tpu.analysis.screening",
         "find_steady_state": "kinetica_tpu.solving.steady_state",
         "find_steady_state_ensemble": "kinetica_tpu.solving.steady_state",
         "steady_state_sensitivities": "kinetica_tpu.solving.steady_state",
