@@ -149,6 +149,34 @@ def sensitivityplot(sens, sd, species: str, top_n: int = 8, ax=None,
     return ax
 
 
+def morrisplot(res, sd, rd, top_n: int = 12, ax=None):
+    """Morris mu*-sigma scatter: importance vs nonlinearity/interaction.
+
+    ``res`` is a :class:`kinetica_tpu.analysis.screening.MorrisResult`.
+    The classic reading (Morris 1991): points far right matter; points
+    far above the ``sigma = mu*`` diagonal act nonlinearly or through
+    interactions. No reference equivalent.
+    """
+    plt = _require_mpl()
+    from ..core.network import format_rxn
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 5))
+    order = np.argsort(res.mu_star)[::-1][:top_n]
+    ax.scatter(res.mu_star[order], res.sigma[order], s=26, zorder=3)
+    for j in order:
+        rid = int(res.rids[j])
+        ax.annotate(format_rxn(sd, rd, rid)[:36],
+                    (res.mu_star[j], res.sigma[j]), fontsize=6,
+                    xytext=(3, 3), textcoords="offset points")
+    lim = max(float(res.mu_star[order].max()), 1e-300)
+    ax.plot([0, lim], [0, lim], color="k", lw=0.5, ls="--")
+    ax.set_xlabel(r"$\mu^{*}$ (mean |elementary effect| per decade of k)")
+    ax.set_ylabel(r"$\sigma$ (std of elementary effects)")
+    ax.set_title(res.objective_name or "Morris screening")
+    return ax
+
+
 def fluxplot(out, flux=None, top_n: int = 8, ax=None, t_unit: str = "s",
              calc=None):
     """Plot the ``top_n`` largest-extent reactions' flux traces r_j(t).

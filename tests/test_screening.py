@@ -140,3 +140,14 @@ class TestMorrisScreening:
         import kinetica_tpu as kt
         assert kt.morris_screening is morris_screening
         assert kt.MorrisResult is MorrisResult
+
+    def test_morrisplot(self):
+        mpl = pytest.importorskip("matplotlib")
+        mpl.use("Agg")
+        sd, rd, calc = chain_network()
+        res = morris_screening(make_method(calc), sd, rd,
+                               objective="CCC", n_trajectories=3, seed=4)
+        from kinetica_tpu.analysis.plotting import morrisplot
+        ax = morrisplot(res, sd, rd)
+        assert ax.get_xlabel().startswith("$\\mu")
+        assert len(ax.collections) == 1
