@@ -121,12 +121,28 @@ def build():
 def cpu_baseline_seconds(sd, rd, calc, conditions, pars):
     """scipy BDF on the identical system — pure numpy RHS/Jacobian (no
     device dispatch; see testing/cpu_reference.py for why that matters),
-    the honest CPU-production baseline. Best-of-3 against host contention."""
-    from kinetica_tpu.solving.solve_utils import make_u0
-    from kinetica_tpu.testing.cpu_reference import scipy_bdf_baseline
+    the honest CPU-production baseline. Best-of-3 against host contention.
 
-    return scipy_bdf_baseline(sd, rd, calc, conditions.get_profile("T"),
-                              pars.tspan, make_u0(sd, pars), RTOL, ATOL)
+    If the global-time formalism h-underflows (stiff-enough CRNs hit
+    "step size less than spacing" — e.g. the nc=42 / 2565-rxn system at
+    ramp end), fall back to the chunkwise-local-time formalism, which is
+    the reference's own answer to that regime and the fairer baseline."""
+    from kinetica_tpu.solving.solve_utils import make_u0
+    from kinetica_tpu.testing.cpu_reference import (
+        scipy_bdf_baseline, scipy_bdf_chunked_baseline)
+
+    try:
+        return scipy_bdf_baseline(sd, rd, calc, conditions.get_profile("T"),
+                                  pars.tspan, make_u0(sd, pars), RTOL, ATOL)
+    except AssertionError:
+        n_chunks = int(round((pars.tspan[1] - pars.tspan[0])
+                             / pars.solve_chunkstep))
+        print("bench: global-time CPU baseline h-underflowed; using the "
+              f"chunkwise-local-time formalism ({n_chunks} chunks)",
+              file=sys.stderr, flush=True)
+        return scipy_bdf_chunked_baseline(
+            sd, rd, calc, conditions.get_profile("T"), pars.tspan,
+            make_u0(sd, pars), RTOL, ATOL, n_chunks=n_chunks)
 
 
 def device_phase(result_path, cpu_final_path, platform):
