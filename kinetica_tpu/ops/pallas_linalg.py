@@ -29,9 +29,11 @@ x64 enabled — the solver needs f64 elsewhere):
 * per-member pivot rows differ, so row swaps use one-hot row masks instead
   of dynamic slices — everything is lockstep vector arithmetic.
 
-Limits: f32 values, one 128-lane tile wide (n <= 128 species), and the
-batch is chunked so the augmented block stays within VMEM; larger systems
-use the XLA LU path (ops/linalg.py picks).
+Limits: f32 values and n <= MAX_PALLAS_N (512) species — each half of the
+augmented block is ceil(n/128) lane tiles wide (the mask-arithmetic
+elimination is width-generic), and the batch is chunked so the block
+stays within VMEM (members/launch shrinks as the width grows). Larger
+systems use the XLA LU path (ops/linalg.py picks).
 """
 from __future__ import annotations
 
@@ -45,16 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 SUBLANE = 8
-MAX_PALLAS_N = 128
+# Multi-tile widths: systems up to MAX_PALLAS_N species run the Pallas
+# Gauss-Jordan inverse with the A/Inv halves each ceil(n/128) lane tiles
+# wide; the mask-arithmetic elimination is width-generic, VMEM chunking
+# shrinks members-per-launch as the width grows. Beyond this, XLA LU.
+MAX_PALLAS_N = 512
 # legacy alias for the widest batch (n_pad == 8); see _max_batch
 MAX_PALLAS_BATCH = 64
 
 
-def _max_batch(n_pad: int) -> int:
+def _max_batch(n_pad: int, wa: int = LANE) -> int:
     """Members per launch so the augmented scratch + in/out blocks stay
-    well inside VMEM (~16 MB): bytes/member = n_pad * (2+1+1) * LANE * 4."""
+    well inside VMEM (~16 MB): bytes/member = n_pad * (2+1+1) * wa * 4."""
     budget = 10 * 1024 * 1024
-    per_member = n_pad * 4 * LANE * 4
+    per_member = n_pad * 4 * wa * 4
     return max(8, (budget // per_member) // 8 * 8)
 
 
@@ -62,13 +68,13 @@ def _pad_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _gj_batch_kernel(n: int, a_ref, inv_ref, aug_ref):
+def _gj_batch_kernel(n: int, wa: int, a_ref, inv_ref, aug_ref):
     """Invert the top-left (n, n) block of every batch member in lockstep.
 
-    ``aug_ref``: (B, n_pad, 2*LANE) augmented [M | Inv]. The column loop is
-    unrolled (static n), so lane index ``kk`` is static and column reads
-    are static slices; only the per-member pivot row is data-dependent and
-    handled with one-hot row masks.
+    ``aug_ref``: (B, n_pad, 2*wa) augmented [M | Inv], where ``wa`` is the
+    width of each half in lanes (one or more 128-lane tiles). The column
+    loop is an i32 while_loop; only the per-member pivot row is
+    data-dependent and handled with one-hot row masks.
     """
     Bb, n_pad, W = aug_ref.shape
     ri = lax.broadcasted_iota(jnp.int32, (Bb, n_pad, 1), 1)
@@ -79,9 +85,9 @@ def _gj_batch_kernel(n: int, a_ref, inv_ref, aug_ref):
     tiny = jnp.float32(1e-30)
 
     # left half: A with identity on padded rows; right half: identity
-    left = li < LANE
+    left = li < wa
     diag_l = (rdiag == li) & (rdiag >= n) & left
-    diag_r = (rdiag == (li - LANE)) & (~left)
+    diag_r = (rdiag == (li - wa)) & (~left)
     src = jnp.concatenate([a_ref[:], jnp.zeros_like(a_ref[:])], axis=2)
     aug_ref[:] = jnp.where(diag_l | diag_r, one, jnp.where(left, src, zero))
 
@@ -127,7 +133,7 @@ def _gj_batch_kernel(n: int, a_ref, inv_ref, aug_ref):
         return kk + jnp.int32(1)
 
     lax.while_loop(lambda kk: kk < jnp.int32(n), col, jnp.int32(0))
-    inv_ref[:] = aug_ref[:, :, LANE:]
+    inv_ref[:] = aug_ref[:, :, wa:]
 
 
 def _gj_call(Ab: jnp.ndarray, interpret: bool) -> jnp.ndarray:
@@ -138,8 +144,9 @@ def _gj_call(Ab: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     B, n = Ab.shape[0], Ab.shape[-1]
     if n > MAX_PALLAS_N:
         raise ValueError(f"gj_inverse supports n <= {MAX_PALLAS_N}, got {n}")
+    wa = _pad_up(max(n, LANE), LANE)
     n_pad = _pad_up(max(n, SUBLANE), SUBLANE)
-    bmax = _max_batch(n_pad)
+    bmax = _max_batch(n_pad, wa)
     if B > bmax:
         nchunk = -(-B // bmax)
         Bp = nchunk * bmax
@@ -150,14 +157,14 @@ def _gj_call(Ab: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         out = lax.map(lambda a: _gj_call(a, interpret), chunks)
         return out.reshape(Bp, n, n)[:B]
 
-    Ap = jnp.zeros((B, n_pad, LANE), jnp.float32)
+    Ap = jnp.zeros((B, n_pad, wa), jnp.float32)
     Ap = Ap.at[:, :n, :n].set(Ab.astype(jnp.float32))
     inv = pl.pallas_call(
-        functools.partial(_gj_batch_kernel, n),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, LANE), jnp.float32),
+        functools.partial(_gj_batch_kernel, n, wa),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, wa), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, n_pad, 2 * LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, n_pad, 2 * wa), jnp.float32)],
         interpret=interpret,
     )(Ap)
     return inv[:, :n, :n]
@@ -197,7 +204,8 @@ def _gj_inverse_jvp(primals, tangents):
 def gj_inverse(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Explicit f32 inverse of a square matrix via one Pallas launch.
 
-    ``A`` is (n, n) with n <= 128; any dtype (cast to f32). Returns the
+    ``A`` is (n, n) with n <= MAX_PALLAS_N (512); any dtype (cast to
+    f32). Returns the
     (n, n) f32 inverse. Under vmap the batch is vectorized inside the
     kernel (lockstep elimination) through a custom_vmap rule; under
     forward-mode autodiff the analytic inverse differential is used.

@@ -23,6 +23,16 @@ def test_gj_inverse_matches_numpy(n):
     assert np.abs(Minv - ref).max() / np.abs(ref).max() < 1e-4
 
 
+@pytest.mark.parametrize("n", [129, 200])
+def test_gj_inverse_multitile(n):
+    # n > one 128-lane tile: each augmented half spans 2 lane tiles
+    rng = np.random.default_rng(n)
+    A = np.eye(n) + 0.05 * rng.standard_normal((n, n))
+    Minv = np.asarray(gj_inverse(jnp.asarray(A), interpret=True))
+    ref = np.linalg.inv(A)
+    assert np.abs(Minv - ref).max() / np.abs(ref).max() < 1e-4
+
+
 def test_gj_inverse_needs_pivoting():
     # zero diagonal: fails without partial pivoting
     A = np.array([[0.0, 2.0], [1.0, 0.0]])
@@ -48,8 +58,9 @@ def test_gj_inverse_batch_chunking():
 
 
 def test_gj_inverse_rejects_wide():
+    from kinetica_tpu.ops.pallas_linalg import MAX_PALLAS_N
     with pytest.raises(ValueError):
-        gj_inverse(jnp.eye(129), interpret=True)
+        gj_inverse(jnp.eye(MAX_PALLAS_N + 1), interpret=True)
 
 
 def test_resolve_linsolve():
@@ -58,7 +69,7 @@ def test_resolve_linsolve():
     assert resolve_linsolve("auto", 49) == expected
     assert resolve_linsolve("lu", 49) == "lu"
     assert resolve_linsolve("inv", 49) == "inv"
-    assert resolve_linsolve("auto", 500) == "lu"   # too wide for Pallas
+    assert resolve_linsolve("auto", 600) == "lu"   # > MAX_PALLAS_N (512)
 
 
 def test_newton_inv_path_solves():
