@@ -62,6 +62,10 @@ def __getattr__(name):
         "solve_adjoint_gradient": "kinetica_tpu.solving.adjoint",
         "morris_screening": "kinetica_tpu.analysis.screening",
         "MorrisResult": "kinetica_tpu.analysis.screening",
+        "reduce_network_drg": "kinetica_tpu.analysis.reduction",
+        "drg_adjacency": "kinetica_tpu.analysis.reduction",
+        "DRGReductionResult": "kinetica_tpu.analysis.reduction",
+        "reaction_fluxes": "kinetica_tpu.analysis.flux",
         "find_steady_state": "kinetica_tpu.solving.steady_state",
         "find_steady_state_ensemble": "kinetica_tpu.solving.steady_state",
         "steady_state_sensitivities": "kinetica_tpu.solving.steady_state",

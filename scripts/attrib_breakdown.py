@@ -27,7 +27,8 @@ from kinetica_tpu.ops.pallas_linalg import gj_inverse
 from kinetica_tpu.ops.pallas_matmul import FusedMassActionRHS
 from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
 
-NC, B = 24, 64
+NC = int(os.environ.get("KINETICA_BENCH_NC", "24"))
+B = int(os.environ.get("KINETICA_BENCH_BATCH", "64"))
 
 
 def chain_time(f, c0, iters=200, reps=3):
