@@ -63,7 +63,10 @@ def __getattr__(name):
         "morris_screening": "kinetica_tpu.analysis.screening",
         "MorrisResult": "kinetica_tpu.analysis.screening",
         "reduce_network_drg": "kinetica_tpu.analysis.reduction",
+        "reduce_network_drgep": "kinetica_tpu.analysis.reduction",
         "drg_adjacency": "kinetica_tpu.analysis.reduction",
+        "drgep_adjacency": "kinetica_tpu.analysis.reduction",
+        "drgep_coefficients": "kinetica_tpu.analysis.reduction",
         "DRGReductionResult": "kinetica_tpu.analysis.reduction",
         "reaction_fluxes": "kinetica_tpu.analysis.flux",
         "find_steady_state": "kinetica_tpu.solving.steady_state",

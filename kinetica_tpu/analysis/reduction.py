@@ -1,4 +1,4 @@
-"""Skeletal mechanism reduction via directed relation graphs (DRG).
+"""Skeletal mechanism reduction via directed relation graphs (DRG/DRGEP).
 
 Automatic, error-controlled reduction of a solved CRN to the reactions
 that matter for chosen target species — the production counterpart of
@@ -23,6 +23,16 @@ eps ladder from aggressive to conservative and returns the smallest
 mechanism whose re-solve reproduces the target profiles within
 tolerance.
 
+Also provided: DRGEP (DRG with Error Propagation, Pepiot-Desjardins &
+Pitsch, Combust. Flame 154 (2008) 67-81) — a strictly sharper selection
+rule. Where DRG keeps everything *reachable* through strong edges,
+DRGEP damps importance geometrically along the path: species B's
+importance to target T is R_TB = max over paths p(T->B) of the product
+of edge coefficients along p, and B is kept iff max_T R_TB >= eps. Its
+interaction coefficient also differs (net flux over max(production,
+consumption) rather than gross-over-gross), so distant-but-connected
+junk that DRG must keep is dropped at the same target accuracy.
+
 All graph work is host-side numpy; the validation re-solves run on the
 device through the ordinary :func:`solve_network` path, so reduction
 composes with every solver feature (chunking, discrete rates, async
@@ -37,20 +47,14 @@ import numpy as np
 from .flux import _k_of_time, _mass_action_arrays
 
 
-def drg_adjacency(out, calc=None, n_samples: int = 64) -> np.ndarray:
-    """(ns, ns) DRG direct-interaction matrix r_AB for a solved network.
-
-    ``out`` is an :class:`~kinetica_tpu.analysis.io.ODESolveOutput`;
-    ``calc`` is required when the solve stored no discrete rate table
-    (continuous/static formalism), as in
-    :func:`kinetica_tpu.analysis.flux.reaction_fluxes`. The coefficient
-    is maximised over ``n_samples`` save-grid times (evenly strided),
-    the standard conservative choice: a coupling that matters at ANY
-    point of the trajectory keeps the edge.
-    """
+def _sampled_fluxes(out, calc, n_samples):
+    """Shared sampling front-end for the adjacency builders: returns
+    ``(N, P, rates)`` — the (nr, ns) net-stoichiometry matrix, the
+    (nr, ns) participation indicator (1 if the species appears on either
+    side, catalytic included), and the (nt', nr) instantaneous reaction
+    fluxes at ``n_samples`` evenly-strided save-grid times."""
     sd, rd = out.sd, out.rd
     N, slots = _mass_action_arrays(sd, rd)            # (nr, ns), (nr, arity)
-    ns = sd.n
     t = np.asarray(out.sol.t, dtype=np.float64)
     u = np.asarray(out.sol.u, dtype=np.float64)
     k_t = np.asarray(_k_of_time(out, calc), dtype=np.float64)
@@ -68,10 +72,25 @@ def drg_adjacency(out, calc=None, n_samples: int = 64) -> np.ndarray:
     u_aug = np.concatenate([np.maximum(u[idx], 0.0),
                             np.ones((idx.size, 1))], axis=1)
     rates = k_t[idx] * u_aug[:, slots].prod(axis=2)   # (nt', nr)
+    return N, P, rates
 
+
+def drg_adjacency(out, calc=None, n_samples: int = 64) -> np.ndarray:
+    """(ns, ns) DRG direct-interaction matrix r_AB for a solved network.
+
+    ``out`` is an :class:`~kinetica_tpu.analysis.io.ODESolveOutput`;
+    ``calc`` is required when the solve stored no discrete rate table
+    (continuous/static formalism), as in
+    :func:`kinetica_tpu.analysis.flux.reaction_fluxes`. The coefficient
+    is maximised over ``n_samples`` save-grid times (evenly strided),
+    the standard conservative choice: a coupling that matters at ANY
+    point of the trajectory keeps the edge.
+    """
+    N, P, rates = _sampled_fluxes(out, calc, n_samples)
+    ns = N.shape[1]
     r = np.zeros((ns, ns))
     absN = np.abs(N)
-    for i in range(idx.size):
+    for i in range(rates.shape[0]):
         W = absN * np.abs(rates[i])[:, None]          # (nr, ns) |nu_Aj w_j|
         den = W.sum(axis=0)                           # (ns,) per A
         num = W.T @ P                                 # (ns_A, ns_B)
@@ -80,6 +99,66 @@ def drg_adjacency(out, calc=None, n_samples: int = 64) -> np.ndarray:
         np.maximum(r, ri, out=r)
     np.fill_diagonal(r, 0.0)
     return r
+
+
+def drgep_adjacency(out, calc=None, n_samples: int = 64) -> np.ndarray:
+    """(ns, ns) DRGEP direct-interaction matrix.
+
+    Pepiot-Desjardins & Pitsch (2008), eq. 4: for species A, B
+
+        r_AB = |sum_{j : B in j} nu_Aj w_j| / max(P_A, C_A)
+
+    with P_A = sum_j max(0, nu_Aj w_j) the gross production of A and
+    C_A = sum_j max(0, -nu_Aj w_j) its gross consumption. Unlike DRG's
+    gross-over-gross ratio, cancelling fluxes through B do NOT inflate
+    the coupling (a fast quasi-equilibrated channel with no net effect
+    on A scores ~0). Maximised over the sampled trajectory times.
+    """
+    N, P, rates = _sampled_fluxes(out, calc, n_samples)
+    ns = N.shape[1]
+    r = np.zeros((ns, ns))
+    for i in range(rates.shape[0]):
+        S = N * rates[i][:, None]                     # (nr, ns) nu_Aj w_j
+        prod = np.maximum(S, 0.0).sum(axis=0)         # (ns,) P_A
+        cons = np.maximum(-S, 0.0).sum(axis=0)        # (ns,) C_A
+        den = np.maximum(prod, cons)
+        num = np.abs(S.T @ P)                         # (ns_A, ns_B) |net|
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ri = np.where(den[:, None] > 0.0, num / den[:, None], 0.0)
+        np.maximum(r, ri, out=r)
+    np.fill_diagonal(r, 0.0)
+    return np.minimum(r, 1.0)
+
+
+def drgep_coefficients(rAB: np.ndarray, target_ids) -> np.ndarray:
+    """(ns,) overall importance R_B = max over targets T and paths
+    p(T -> B) of the product of edge coefficients along p.
+
+    Max-product Dijkstra from the target set: edge weights are in
+    [0, 1], so path products only decrease and the standard greedy
+    settle order is exact. Targets themselves get R = 1.
+    """
+    import heapq
+
+    ns = rAB.shape[0]
+    R = np.zeros(ns)
+    heap = []
+    for tid in target_ids:
+        R[int(tid)] = 1.0
+        heapq.heappush(heap, (-1.0, int(tid)))
+    settled = np.zeros(ns, dtype=bool)
+    while heap:
+        negv, a = heapq.heappop(heap)
+        if settled[a]:
+            continue
+        settled[a] = True
+        va = -negv
+        for b in np.nonzero(rAB[a] > 0.0)[0]:
+            cand = va * rAB[a, b]
+            if cand > R[b]:
+                R[b] = cand
+                heapq.heappush(heap, (-cand, int(b)))
+    return R
 
 
 def drg_select(rAB: np.ndarray, target_ids, eps: float) -> np.ndarray:
@@ -153,17 +232,29 @@ class ReducedNetwork:
         return sd2, rd2, smap
 
 
-def reduce_at_eps(rAB: np.ndarray, rd, target_ids, eps: float
-                  ) -> ReducedNetwork:
-    """The DRG reduction of one adjacency matrix at one threshold."""
-    keep_sp = drg_select(rAB, target_ids, eps)
+def _network_from_species_mask(keep_sp: np.ndarray, rd, eps: float
+                               ) -> ReducedNetwork:
+    """Reactions survive iff every participating species survives."""
     keep_rids = [j for j in range(rd.nr)
                  if all(keep_sp[s] for s in rd.id_reacs[j])
                  and all(keep_sp[s] for s in rd.id_prods[j])]
     return ReducedNetwork(eps=eps, keep_species=keep_sp,
                           keep_rids=keep_rids,
-                          n_species_full=rAB.shape[0],
+                          n_species_full=keep_sp.shape[0],
                           n_reactions_full=rd.nr)
+
+
+def reduce_at_eps(rAB: np.ndarray, rd, target_ids, eps: float
+                  ) -> ReducedNetwork:
+    """The DRG reduction of one adjacency matrix at one threshold."""
+    return _network_from_species_mask(drg_select(rAB, target_ids, eps),
+                                      rd, eps)
+
+
+def reduce_at_eps_drgep(R: np.ndarray, rd, eps: float) -> ReducedNetwork:
+    """The DRGEP reduction of one importance vector at one threshold:
+    keep species with overall importance R_B >= eps."""
+    return _network_from_species_mask(R >= eps, rd, eps)
 
 
 @dataclass
@@ -182,25 +273,33 @@ class DRGReductionResult:
     ladder: list = field(default_factory=list)
     full_output: object = None
     reduced_output: object = None
+    method: str = "drg"
 
     def summary(self) -> str:
         red = self.reduction
-        return (f"DRG: {red.n_reactions}/{red.n_reactions_full} reactions, "
+        return (f"{self.method.upper()}: "
+                f"{red.n_reactions}/{red.n_reactions_full} reactions, "
                 f"{red.n_species}/{red.n_species_full} species at "
                 f"eps={red.eps:.3g} (max target error {self.error:.2e})")
 
 
 def reduce_network_drg(solvemethod, sd, rd, targets, tol: float = 1e-3,
                        eps_ladder=None, calc=None, n_samples: int = 64,
-                       full_output=None) -> DRGReductionResult:
+                       full_output=None, method: str = "drg"
+                       ) -> DRGReductionResult:
     """Error-controlled skeletal reduction of a CRN.
 
     Solves the full network with ``solvemethod`` (unless ``full_output``
-    is supplied), builds the DRG from its trajectory, then walks
-    ``eps_ladder`` (default: 0.3 down to 1e-4, geometric) from the most
-    aggressive reduction downward, re-solving each candidate, and
+    is supplied), builds the relation graph from its trajectory, then
+    walks ``eps_ladder`` (default: 0.3 down to 1e-4, geometric) from the
+    most aggressive reduction downward, re-solving each candidate, and
     accepts the FIRST (= smallest) mechanism whose maximum absolute
     deviation on the ``targets``' profiles is <= ``tol``.
+
+    ``method`` selects the graph rule: ``"drg"`` (reachability, Lu &
+    Law 2005) or ``"drgep"`` (path-product error propagation,
+    Pepiot-Desjardins & Pitsch 2008 — usually smaller mechanisms at the
+    same tolerance; see module docstring).
 
     ``targets`` are species SMILES/labels — the only seed set: anything
     the targets depend on (including initial-composition species) is
@@ -210,6 +309,8 @@ def reduce_network_drg(solvemethod, sd, rd, targets, tol: float = 1e-3,
     """
     from ..solving.methods import solve_network
 
+    if method not in ("drg", "drgep"):
+        raise ValueError(f"method must be 'drg' or 'drgep', got {method!r}")
     if eps_ladder is None:
         eps_ladder = np.geomspace(0.3, 1e-4, 12)
     eps_ladder = sorted((float(e) for e in eps_ladder), reverse=True)
@@ -223,11 +324,18 @@ def reduce_network_drg(solvemethod, sd, rd, targets, tol: float = 1e-3,
     target_ids = [sd.toInt[s] for s in targets]
     seed_ids = set(target_ids)
 
-    rAB = drg_adjacency(full_output, calc=calc, n_samples=n_samples)
+    if method == "drgep":
+        rAB = drgep_adjacency(full_output, calc=calc, n_samples=n_samples)
+        R = drgep_coefficients(rAB, sorted(seed_ids))
+    else:
+        rAB = drg_adjacency(full_output, calc=calc, n_samples=n_samples)
 
     ladder = []
     for eps in eps_ladder:
-        red = reduce_at_eps(rAB, rd, sorted(seed_ids), eps)
+        if method == "drgep":
+            red = reduce_at_eps_drgep(R, rd, eps)
+        else:
+            red = reduce_at_eps(rAB, rd, sorted(seed_ids), eps)
         if red.n_reactions == 0:
             ladder.append((eps, red.n_species, 0, float("inf")))
             continue
@@ -248,10 +356,19 @@ def reduce_network_drg(solvemethod, sd, rd, targets, tol: float = 1e-3,
             return DRGReductionResult(reduction=red, error=err,
                                       targets=list(targets), ladder=ladder,
                                       full_output=full_output,
-                                      reduced_output=red_out)
+                                      reduced_output=red_out,
+                                      method=method)
     raise ValueError(
-        f"DRG could not meet tol={tol:g} anywhere on the eps ladder "
-        f"(best error {min(l[3] for l in ladder):.3e}); widen the ladder "
-        "floor or loosen tol. Ladder: "
+        f"{method.upper()} could not meet tol={tol:g} anywhere on the eps "
+        f"ladder (best error {min(l[3] for l in ladder):.3e}); widen the "
+        "ladder floor or loosen tol. Ladder: "
         + ", ".join(f"eps={e:.2g}:nr={nr},err={er:.2e}"
                     for e, _, nr, er in ladder))
+
+
+def reduce_network_drgep(solvemethod, sd, rd, targets, **kwargs
+                         ) -> DRGReductionResult:
+    """Error-controlled DRGEP reduction — ``reduce_network_drg`` with
+    ``method="drgep"``; see that function for the contract."""
+    kwargs["method"] = "drgep"
+    return reduce_network_drg(solvemethod, sd, rd, targets, **kwargs)

@@ -10,8 +10,12 @@ import pytest
 
 from kinetica_tpu.analysis.reduction import (DRGReductionResult,
                                              drg_adjacency, drg_select,
+                                             drgep_adjacency,
+                                             drgep_coefficients,
                                              reduce_at_eps,
-                                             reduce_network_drg)
+                                             reduce_at_eps_drgep,
+                                             reduce_network_drg,
+                                             reduce_network_drgep)
 from kinetica_tpu.calculators.builtin import PrecalculatedArrheniusCalculator
 from kinetica_tpu.conditions.condition_set import ConditionSet
 from kinetica_tpu.core.network import RxData, SpeciesData
@@ -131,3 +135,73 @@ class TestReduceNetwork:
             reduce_network_drg(solvemethod(calc), sd, rd,
                                targets=["CC"], tol=1e-30,
                                eps_ladder=[0.5, 0.4])
+
+
+class TestDRGEP:
+    def test_adjacency_range_and_cancellation(self):
+        sd, rd, calc = network_with_junk()
+        out = solve_network(solvemethod(calc), sd, rd)
+        r = drgep_adjacency(out, calc=calc)
+        assert r.shape == (sd.n, sd.n)
+        assert np.all(r >= 0.0) and np.all(r <= 1.0 + 1e-12)
+        assert np.all(np.diag(r) == 0.0)
+        # DRGEP's net-flux coefficient never exceeds DRG's gross one
+        # by more than numerical noise on a per-edge basis is NOT
+        # guaranteed in general (different denominators), but on this
+        # network the dominant CH4<->CH3 coupling must survive
+        assert r[sd.toInt["C"], sd.toInt["[CH3]"]] > 0.5
+
+    def test_path_product_dijkstra(self):
+        # chain 0 -> 1 -> 2 with a weak shortcut 0 -> 2: the max-product
+        # path 0.8*0.5 = 0.4 beats the direct 0.3 edge
+        r = np.zeros((3, 3))
+        r[0, 1] = 0.8
+        r[1, 2] = 0.5
+        r[0, 2] = 0.3
+        R = drgep_coefficients(r, [0])
+        assert R[0] == 1.0
+        assert np.isclose(R[1], 0.8)
+        assert np.isclose(R[2], 0.4)
+
+    def test_geometric_damping_vs_drg(self):
+        # DRG keeps anything reachable through eps-strong edges; DRGEP
+        # damps along the path: a chain of 0.3 edges dies after a few
+        # hops at eps=0.01 where DRG at the same eps keeps it all
+        n = 8
+        r = np.zeros((n, n))
+        for i in range(n - 1):
+            r[i, i + 1] = 0.3
+        keep_drg = drg_select(r, [0], eps=0.01)
+        assert keep_drg.all()
+        R = drgep_coefficients(r, [0])
+        keep_ep = R >= 0.01
+        # 0.3^4 = 8.1e-3 < eps: species 5+ are dropped
+        assert keep_ep[:4].all() and not keep_ep[5:].any()
+
+    def test_reduce_network_drgep_drops_junk(self):
+        sd, rd, calc = network_with_junk()
+        res = reduce_network_drgep(solvemethod(calc), sd, rd,
+                                   targets=["CC", "C=C"], tol=1e-6)
+        assert res.method == "drgep"
+        assert res.error <= 1e-6
+        assert res.reduction.n_reactions < rd.nr
+        junk_rids = set(range(6, 9))
+        assert not (set(res.reduction.keep_rids) & junk_rids)
+        assert "DRGEP" in res.summary()
+
+    def test_drgep_no_larger_than_drg(self):
+        # on the junk network at equal tolerance, DRGEP's accepted
+        # mechanism is never larger than DRG's
+        sd, rd, calc = network_with_junk()
+        res_drg = reduce_network_drg(solvemethod(calc), sd, rd,
+                                     targets=["CC"], tol=1e-6)
+        res_ep = reduce_network_drgep(solvemethod(calc), sd, rd,
+                                      targets=["CC"], tol=1e-6,
+                                      full_output=res_drg.full_output)
+        assert res_ep.reduction.n_reactions <= res_drg.reduction.n_reactions
+
+    def test_bad_method_raises(self):
+        sd, rd, calc = network_with_junk()
+        with pytest.raises(ValueError, match="method"):
+            reduce_network_drg(solvemethod(calc), sd, rd, targets=["CC"],
+                               method="cuteness")
