@@ -62,6 +62,10 @@ def __getattr__(name):
         "solve_adjoint_gradient": "kinetica_tpu.solving.adjoint",
         "morris_screening": "kinetica_tpu.analysis.screening",
         "MorrisResult": "kinetica_tpu.analysis.screening",
+        "sobol_sensitivity": "kinetica_tpu.analysis.sobol",
+        "SobolResult": "kinetica_tpu.analysis.sobol",
+        "saltelli_design": "kinetica_tpu.analysis.sobol",
+        "sobol_indices_from_values": "kinetica_tpu.analysis.sobol",
         "reduce_network_drg": "kinetica_tpu.analysis.reduction",
         "reduce_network_drgep": "kinetica_tpu.analysis.reduction",
         "drg_adjacency": "kinetica_tpu.analysis.reduction",
