@@ -177,6 +177,37 @@ def morrisplot(res, sd, rd, top_n: int = 12, ax=None):
     return ax
 
 
+def sobolplot(res, sd, rd, top_n: int = 12, ax=None):
+    """Grouped-bar view of Sobol indices: total (ST) vs first-order (S1).
+
+    ``res`` is a :class:`kinetica_tpu.analysis.sobol.SobolResult`.
+    Reactions sorted by decreasing total index; the ST-S1 gap reads as
+    interaction strength. Estimator noise can push S1 slightly negative
+    — bars are drawn from 0 and clipped notes are left to the summary.
+    No reference equivalent.
+    """
+    plt = _require_mpl()
+    from ..core.network import format_rxn
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(7, 0.45 * min(top_n, len(res.rids)) + 1.4))
+    order = np.argsort(res.ST)[::-1][:top_n]
+    y = np.arange(order.size)
+    h = 0.38
+    ax.barh(y - h / 2, np.maximum(res.ST[order], 0.0), height=h,
+            color="tab:blue", label="total $S_T$")
+    ax.barh(y + h / 2, np.maximum(res.S1[order], 0.0), height=h,
+            color="tab:orange", label="first-order $S_1$")
+    ax.set_yticks(y)
+    ax.set_yticklabels([format_rxn(sd, rd, int(res.rids[j]))[:40]
+                        for j in order], fontsize=7)
+    ax.invert_yaxis()
+    ax.set_xlabel("Sobol index (fraction of objective variance)")
+    ax.set_title(res.objective_name or "Sobol sensitivity")
+    ax.legend(frameon=False, fontsize=8)
+    return ax
+
+
 def fluxplot(out, flux=None, top_n: int = 8, ax=None, t_unit: str = "s",
              calc=None):
     """Plot the ``top_n`` largest-extent reactions' flux traces r_j(t).

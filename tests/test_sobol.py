@@ -106,3 +106,22 @@ class TestSobolOnCRN:
                                 n_samples=16, seed=4)
         assert res.rids.tolist() == [0, 1]
         assert res.S1.shape == (2,)
+
+    def test_top_level_export(self):
+        import kinetica_tpu as kt
+        assert kt.sobol_sensitivity is sobol_sensitivity
+        assert kt.SobolResult is SobolResult
+
+    def test_sobolplot(self):
+        mpl = pytest.importorskip("matplotlib")
+        mpl.use("Agg")
+        sd, rd, calc = chain_network()
+        res = sobol_sensitivity(make_method(calc), sd, rd,
+                                objective="CCC", n_samples=8, seed=6)
+        from kinetica_tpu.analysis.plotting import sobolplot
+        ax = sobolplot(res, sd, rd)
+        assert "Sobol index" in ax.get_xlabel()
+        # two bar series (ST + S1), one bar per screened reaction each
+        assert len(ax.containers) == 2
+        assert len(ax.containers[0]) == rd.nr
+        assert ax.get_legend() is not None
