@@ -100,6 +100,16 @@ def main():
     net64, net32, ks, u0s = setup()
     print(f"nr={net64.nr} ns={net64.ns} B={B} chunk tf={TF}")
     import traceback
+    if net64.nr > 3000 and jax.default_backend() not in ("cpu",):
+        # the raw emulated-f64 dense RHS/jac at >~3000 reactions has
+        # repeatedly CRASHED the remote-attached TPU worker (kernel
+        # fault, multi-minute recovery); this script exists for the
+        # f64-vs-f32 attribution at bench scale — at multi-tile scale
+        # use scripts/attrib_step_parts.py (production builders) instead.
+        print("SKIP: nr > 3000 on an accelerator backend — raw-f64 dense "
+              "variants crash the remote TPU worker; use "
+              "attrib_step_parts.py for this scale.")
+        return
     variants = [
         ("baseline f64rhs/f32jac/inv/ref1", {}),
         ("rhs f32 @rtol1e-6 (attribution)", dict(rhs_mode="f32", rtol=1e-6, atol=1e-8)),
