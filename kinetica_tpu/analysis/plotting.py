@@ -209,20 +209,22 @@ def sobolplot(res, sd, rd, top_n: int = 12, ax=None):
 
 
 def fluxplot(out, flux=None, top_n: int = 8, ax=None, t_unit: str = "s",
-             calc=None):
+             calc=None, **flux_kwargs):
     """Plot the ``top_n`` largest-extent reactions' flux traces r_j(t).
 
     ``flux`` is a :class:`kinetica_tpu.analysis.flux.FluxResult`
     (computed from ``out`` via :func:`reaction_fluxes` if omitted —
-    pass ``calc`` for continuous/static solves). No reference
-    equivalent (the reference plots concentrations/conditions only).
+    pass ``calc`` for continuous/static solves, and any further
+    ``reaction_fluxes`` kwargs such as ``attribution="projected"``
+    through ``flux_kwargs``). No reference equivalent (the reference
+    plots concentrations/conditions only).
     """
     plt = _require_mpl()
     from ..core.network import format_rxn
     from .flux import reaction_fluxes
 
     if flux is None:
-        flux = reaction_fluxes(out, calc=calc)
+        flux = reaction_fluxes(out, calc=calc, **flux_kwargs)
     if ax is None:
         _, ax = plt.subplots(figsize=(8, 5))
     for rid, _extent in flux.top(top_n):
