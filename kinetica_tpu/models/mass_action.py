@@ -27,6 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.network import RxData
 
@@ -146,23 +147,11 @@ class MassActionNetwork:
         r = self.rates(u, k)
         return r @ self.N
 
-    def jac(self, u: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-        """Analytic Jacobian d(du/dt)/du, shape (ns, ns).
-
-        J = N^T @ G with G[j, slot_js] = w_js, w_js = k_j prod_{s'!=s}
-        u_aug[slot_js'].  G has at most ``arity`` nonzeros per row, so both
-        contractions are done as a segment-sum over the (reaction, slot)
-        pairs instead of dense matmuls: the flop count drops from
-        ns*nr*ns to arity*nr*ns, and (decisive on TPU, where f64 matmuls
-        are software-emulated) no f64 matmul is needed at all — on a
-        603-reaction CRN this is ~13x faster per evaluation at bit-identical
-        f64 values. Padding slots point at the constant-1 column (index ns),
-        which is dropped before returning (matching d(1)/du = 0).
-        """
-        # consistent with :meth:`rates`: evaluated at the smooth-clipped
-        # concentrations with the chain factor d(_clip_pos)/du applied to
-        # each Jacobian column, so RHS and Jacobian agree through the
-        # u ~ 0 crossing (see _clip_pos).
+    def _slot_weights(self, u: jnp.ndarray, k: jnp.ndarray):
+        """Shared Jacobian prep: (w, chain) with w[j, s] = k_j *
+        prod_{s'!=s} u_aug[slot_js'] (the dr_j/du coefficient of slot s)
+        and chain = d(_clip_pos)/du applied per Jacobian column, so RHS
+        and Jacobian agree through the u ~ 0 crossing (see _clip_pos)."""
         u_aug = jnp.concatenate([_clip_pos(u, self.delta),
                                  jnp.ones((1,), dtype=u.dtype)])
         chain = _clip_pos_grad(u, self.delta)
@@ -175,6 +164,25 @@ class MassActionNetwork:
             return jnp.prod(tiled, axis=1)
 
         w = k[:, None] * jax.vmap(leave_one_out)(slot_u)      # (nr, arity)
+        return w, chain
+
+    def jac(self, u: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+        """Analytic Jacobian d(du/dt)/du, shape (ns, ns) — segment-sum form.
+
+        J = N^T @ G with G[j, slot_js] = w_js, w_js = k_j prod_{s'!=s}
+        u_aug[slot_js'].  G has at most ``arity`` nonzeros per row, so both
+        contractions are done as a segment-sum over the (reaction, slot)
+        pairs instead of dense matmuls: the flop count drops from
+        ns*nr*ns to arity*nr*ns, and (decisive for f64 Jacobians on TPU,
+        where f64 matmuls are software-emulated) no f64 matmul is needed
+        at all — on a 603-reaction CRN this is ~13x faster per f64
+        evaluation at bit-identical values. For the f32 preconditioner
+        Jacobian on TPU the MXU matmul form (:meth:`jac_matmul`) wins
+        instead — see ``ODESimulationParams.jac_form``. Padding slots
+        point at the constant-1 column (index ns), which is dropped
+        before returning (matching d(1)/du = 0).
+        """
+        w, chain = self._slot_weights(u, k)
         nr, arity = self.reac_slots.shape
         ns = self.N.shape[1]
         # rows of (dr_j/du_m = w_js at m=slot_js) scaled by N_j, summed into
@@ -182,6 +190,32 @@ class MassActionNetwork:
         Y = (self.N[:, None, :] * w[:, :, None]).reshape(nr * arity, ns)
         JT = jax.ops.segment_sum(Y, self.reac_slots.reshape(-1),
                                  num_segments=ns + 1)
+        return JT[:ns].T * chain[None, :]
+
+    def jac_matmul(self, u: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+        """Analytic Jacobian in MXU matmul form (TPU f32 hot path).
+
+        Same values as :meth:`jac` (to rounding), different contraction:
+        J^T = sum_s E_s^T @ (w_s . N) with E_s the one-hot slot matrix
+        (nr, ns+1) of slot s. Rationale (device trace at 4473 rxns / 181
+        species / B=64): the segment-sum form materialises a
+        (B, nr*arity, ns) gather intermediate (~414 MB) and lowers to
+        scatter-adds that serialise; the matmul form is ``arity`` batched
+        f32 dot_generals on the MXU at half the operand traffic.
+        Precision HIGHEST keeps f32-rounding accuracy (the default bf16
+        passes would cost ~3 digits of the preconditioner). One-hot
+        construction is lane-invariant and costs 1/B of one operand.
+        """
+        w, chain = self._slot_weights(u, k)
+        ns = self.N.shape[1]
+        dt = self.N.dtype
+        JT = None
+        for s in range(self.arity):
+            E = jax.nn.one_hot(self.reac_slots[:, s], ns + 1, dtype=dt)
+            term = lax.dot_general(E, w[:, s:s + 1].astype(dt) * self.N,
+                                   (((0,), (0,)), ((), ())),
+                                   precision=lax.Precision.HIGHEST)
+            JT = term if JT is None else JT + term
         return JT[:ns].T * chain[None, :]
 
     def rhs_and_jac(self, u, k):

@@ -250,6 +250,24 @@ def residual_eye_pair(A32, M32):
     return (eye - hi) - lo
 
 
+def residual_eye_f64dot(A32, M32):
+    """R = I - A @ M via the emulated-f64 MXU dot (accelerator path).
+
+    f32 -> f64 casts are exact, so the only error is the emulated-f64
+    accumulation: ~eps64 * n * max|M| ~ 1e-10 for the refine loop's
+    operating range — three decades tighter than the pair form, at MXU
+    (not VPU) cost. Unlike the RHS contraction (ops/pallas_matmul.py),
+    this op is small enough ((B, n, n) with n ~ 10^2) that the emulation's
+    splitting intermediates stay modest, and measured in-situ it beats
+    the compensated-VPU form ~...x per eval (scripts/profile_trace.py).
+    """
+    n = A32.shape[-1]
+    R = (jnp.eye(n, dtype=jnp.float64)
+         - jnp.matmul(A32.astype(jnp.float64), M32.astype(jnp.float64),
+                      precision=lax.Precision.HIGHEST))
+    return R.astype(jnp.float32)
+
+
 def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
                          max_sweeps: int = 4):
     """Quadratically refine an approximate f32 inverse of A32 WHEN NEEDED.
@@ -277,6 +295,23 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
     eps32 = jnp.asarray(1.2e-7, jnp.float32)
     need = eps32 * jnp.max(jnp.abs(minv)) > proxy_tol
 
+    # Residual implementation (env-selectable for ablation,
+    # KINETICA_NS_RESIDUAL = auto | pair | f64dot): the compensated-VPU
+    # pair form costs ~16 full-matrix VPU ops per contraction column
+    # (~28% of the production step cost in-situ, scripts/profile_trace
+    # .py), while the emulated-f64 MXU dot does the same job at matmul
+    # cost with ~1e-10 accuracy — "auto" picks it on accelerators.
+    # CPU keeps the pair form (native f64 dots there are cheap, but the
+    # pair form is the bit-reproducible reference the tests pin).
+    import os as _os
+
+    import jax as _jax
+    choice = _os.environ.get("KINETICA_NS_RESIDUAL", "auto")
+    if choice == "auto":
+        choice = "f64dot" if _jax.default_backend() != "cpu" else "pair"
+    residual_fn = (residual_eye_f64dot if choice == "f64dot"
+                   else residual_eye_pair)
+
     def rnorm(R):
         return jnp.max(jnp.abs(R))
 
@@ -286,7 +321,7 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
 
     def body(carry):
         minv, _, it = carry
-        R = residual_eye_pair(A32, minv)
+        R = residual_fn(A32, minv)
         rn = rnorm(R)
         minv = jnp.where(
             rn > tol,

@@ -220,7 +220,9 @@ class EnsembleProblem:
             from ..models.mass_action import pad_reactions
             self.net = pad_reactions(self.net, self.net.nr + self._nr_pad)
         jdt = _jac_dtype(pars)
-        from ..solving.methods import _resolve_contraction
+        from ..solving.methods import _resolve_contraction, _resolve_jac_form
+        jac_form = _resolve_jac_form(pars, jdt)
+        self._jac_form = jac_form
         contraction = _resolve_contraction(self.net, pars)
         self._contraction = contraction
         jac_net = (MassActionNetwork(self.net.reac_slots,
@@ -231,7 +233,8 @@ class EnsembleProblem:
         if rate_mode == "discrete":
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "discrete", jac_net=jac_net,
-                analytic_jac=pars.jac, contraction=contraction)
+                analytic_jac=pars.jac, contraction=contraction,
+                jac_form=jac_form)
             payload_axes = (None, 0)   # (shared tstops, per-member k table)
             stops_axes = None          # shared stop grid
         else:
@@ -260,7 +263,7 @@ class EnsembleProblem:
             self.rhs, self.jac, self.prepare = _make_rhs_jac(
                 self.net, "continuous_theta", k_fn=k_fn, jac_net=jac_net,
                 analytic_jac=pars.jac, contraction=contraction,
-                k_fn_pair=k_fn_pair)
+                k_fn_pair=k_fn_pair, jac_form=jac_form)
             payload_axes = 0           # per-member theta dict
             stops_axes = 0             # per-member profile-kink stops
         if self._nr_pad and rate_mode == "continuous":
@@ -566,8 +569,12 @@ class EnsembleProblem:
                     return k.astype(jdt)
 
             if analytic:
+                jac_impl = (jnet_l.jac_matmul
+                            if getattr(self, "_jac_form", "segsum") == "matmul"
+                            else jnet_l.jac)
+
                 def jac(t, u, k):
-                    Jl = jnet_l.jac(u.astype(jdt), k_for_jac(k))
+                    Jl = jac_impl(u.astype(jdt), k_for_jac(k))
                     return jax.lax.psum(Jl, "model")
             else:
                 def jac(t, u, k):

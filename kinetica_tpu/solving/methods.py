@@ -191,9 +191,21 @@ def _resolve_contraction(net: MassActionNetwork, pars=None):
             return None
 
 
+def _resolve_jac_form(pars, jdt) -> str:
+    """Pick the analytic-Jacobian contraction form (see params.jac_form):
+    "matmul" exactly when the Jacobian is f32 on an accelerator (MXU
+    dot_generals at half the segsum traffic, no scatter), else "segsum"."""
+    choice = getattr(pars, "jac_form", "auto") if pars is not None else "auto"
+    if choice != "auto":
+        return choice
+    if jax.default_backend() != "cpu" and jdt == jnp.float32:
+        return "matmul"
+    return "segsum"
+
+
 def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
                   analytic_jac: bool = True, contraction=None,
-                  k_fn_pair=None):
+                  k_fn_pair=None, jac_form: str = "segsum"):
     """Build ``(rhs, jac, prepare)`` for :func:`bdf.bdf_solve`.
 
     ``prepare(t_stage, t_start, args)`` evaluates the rate-constant vector
@@ -283,8 +295,10 @@ def _make_rhs_jac(net: MassActionNetwork, mode: str, k_fn=None, jac_net=None,
             return k.astype(jdt)
 
     if analytic_jac:
+        jac_impl = jnet.jac_matmul if jac_form == "matmul" else jnet.jac
+
         def jac(t, u, k):
-            return jnet.jac(u.astype(jdt), k_for_jac(k))
+            return jac_impl(u.astype(jdt), k_for_jac(k))
     else:
         # pars.jac=False: forward-mode autodiff Jacobian of the same RHS
         # (the reference's jac=false lets the solver derive the Jacobian;
@@ -607,6 +621,7 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
     net = build_mass_action(rd_active, sd_active.n, dtype=dtype,
                             clip_delta=resolve_clip_delta(pars))
     jdt = _jac_dtype(pars)
+    jac_form = _resolve_jac_form(pars, jdt)
     jac_net = (MassActionNetwork(net.reac_slots, net.N.astype(jdt),
                                  delta=net.delta)
                if jdt != dtype else None)
@@ -622,7 +637,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
         k_vec = jnp.asarray(get_initial_rates(conditions, calc), dtype=dtype)
         rhs, jac, prepare = _make_rhs_jac(net, "static", jac_net=jac_net,
                                           analytic_jac=pars.jac,
-                                          contraction=contraction)
+                                          contraction=contraction,
+                                          jac_form=jac_form)
         payload = k_vec
         global_stops = None
     elif update_mode == "discrete":
@@ -631,7 +647,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
             tstops, k_table = calculate_discrete_rates(conditions, calc, rd_active.nr)
         rhs, jac, prepare = _make_rhs_jac(net, "discrete", jac_net=jac_net,
                                           analytic_jac=pars.jac,
-                                          contraction=contraction)
+                                          contraction=contraction,
+                                          jac_form=jac_form)
         payload = (jnp.asarray(tstops, dtype=dtype), jnp.asarray(k_table, dtype=dtype))
         global_stops = tstops
         k_series = TimeSeries(tstops, k_table)
@@ -643,7 +660,8 @@ def solve_network(method: AbstractODESolveMethod, sd: SpeciesData, rd: RxData,
                                           jac_net=jac_net,
                                           analytic_jac=pars.jac,
                                           contraction=contraction,
-                                          k_fn_pair=k_fn_pair)
+                                          k_fn_pair=k_fn_pair,
+                                          jac_form=jac_form)
         payload = None
         global_stops = np.asarray(conditions.get_tstops())
 

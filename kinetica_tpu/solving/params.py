@@ -71,6 +71,14 @@ class ODESimulationParams:
     # "always" can trade ~zero extra cost for fewer stale-J retries —
     # measure per workload.
     jac_policy: str = "lazy"
+    # Analytic-Jacobian contraction form: "segsum" (segment-sum over
+    # (reaction, slot) pairs — no matmul, best for f64 Jacobians where
+    # TPU matmuls are emulated, and on CPU) | "matmul" (arity batched
+    # f32 MXU dot_generals — half the operand traffic and no scatter;
+    # best for the f32 preconditioner Jacobian on accelerators).
+    # "auto" picks matmul exactly when the Jacobian dtype is f32 on a
+    # non-CPU backend. Values agree to rounding (tests/test_mass_action).
+    jac_form: str = "auto"
     # Concentration floor of the smooth nonnegative clip applied to u
     # before rate evaluation (models.mass_action._clip_pos): species
     # within ~clip_delta of zero see smoothly damped rates (~27% at
@@ -138,6 +146,10 @@ class ODESimulationParams:
 
         if self.jac_policy not in ("lazy", "always"):
             raise ValueError("jac_policy must be one of ['lazy', 'always']")
+
+        if self.jac_form not in ("auto", "segsum", "matmul"):
+            raise ValueError(
+                "jac_form must be one of ['auto', 'segsum', 'matmul']")
 
         if isinstance(self.clip_delta, str):
             if self.clip_delta != "auto":

@@ -60,6 +60,43 @@ class TestMassAction:
         J_ad = np.asarray(jax.jacfwd(lambda uu: net.rhs(uu, k))(u))
         np.testing.assert_allclose(J_analytic, J_ad, rtol=1e-12, atol=1e-12)
 
+    def test_jac_matmul_matches_segsum(self, rng):
+        # the MXU matmul form (jac_form="matmul") must agree with the
+        # segment-sum form to rounding, in f64 and in the f32
+        # preconditioner dtype, including through vmap
+        sd, rd = random_network(rng)
+        net = build_mass_action(rd, sd.n)
+        u = jnp.asarray(rng.uniform(0.0, 2.0, (4, sd.n)))
+        k = jnp.asarray(rng.uniform(0.1, 10.0, rd.nr))
+        J_ss = np.asarray(jax.vmap(lambda uu: net.jac(uu, k))(u))
+        J_mm = np.asarray(jax.vmap(lambda uu: net.jac_matmul(uu, k))(u))
+        np.testing.assert_allclose(J_mm, J_ss, rtol=1e-12, atol=1e-12)
+
+        from kinetica_tpu.models.mass_action import MassActionNetwork
+        net32 = MassActionNetwork(net.reac_slots,
+                                  net.N.astype(jnp.float32),
+                                  delta=net.delta)
+        u32, k32 = u.astype(jnp.float32), k.astype(jnp.float32)
+        J_ss = np.asarray(jax.vmap(lambda uu: net32.jac(uu, k32))(u32))
+        J_mm = np.asarray(jax.vmap(lambda uu: net32.jac_matmul(uu, k32))(u32))
+        scale = np.abs(J_ss).max()
+        np.testing.assert_allclose(J_mm, J_ss, rtol=1e-5,
+                                   atol=1e-5 * max(scale, 1.0))
+
+    def test_jac_matmul_padded_slots(self, rng):
+        # padding reactions (constant-1 slots, zero N rows) must be exact
+        # no-ops in the matmul form too
+        from kinetica_tpu.models.mass_action import pad_reactions
+        sd, rd = random_network(rng)
+        net = build_mass_action(rd, sd.n)
+        netp = pad_reactions(net, net.nr + 7)
+        u = jnp.asarray(rng.uniform(0.0, 2.0, sd.n))
+        k = jnp.asarray(rng.uniform(0.1, 10.0, rd.nr))
+        kp = jnp.concatenate([k, jnp.zeros((7,), k.dtype)])
+        np.testing.assert_allclose(np.asarray(netp.jac_matmul(u, kp)),
+                                   np.asarray(net.jac_matmul(u, k)),
+                                   rtol=0, atol=0)
+
     def test_jacobian_with_zero_concentrations(self, rng):
         # at exactly u=0 autodiff of max(u,0) gives the 0.5 tie-subgradient;
         # the analytic jac keeps the one-sided derivative (species start at

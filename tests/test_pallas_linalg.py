@@ -244,3 +244,4 @@ def test_bdf_linsolve_inv_fused_end_to_end():
                         args=0.0)
     assert int(res.status) == bdf.DONE
     np.testing.assert_allclose(np.asarray(res.ys[-1]), ref, rtol=1e-7)
+
