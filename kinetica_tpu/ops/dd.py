@@ -315,6 +315,43 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
     def rnorm(R):
         return jnp.max(jnp.abs(R))
 
+    # Phase 1 (accelerators): CHEAP f32/HIGHEST residual sweeps. The plain
+    # MXU residual measures R only down to its accumulation floor
+    # ~eps32 * sqrt(n) * max|M| (partial sums of A @ M reach ~max|M| before
+    # cancelling to I), but above that floor its direction is good, and an
+    # NS sweep with a noisy residual still contracts the TRUE error to
+    # ~max(rn^2, floor). Sweeping here first means the expensive accurate
+    # residual (phase 2) starts from ~floor instead of ~eps32*cond, so it
+    # usually needs ONE sweep + verify instead of 3-4 — the accurate
+    # residual dominates the production refactor path (~25-30% of step
+    # cost at nc=24/B=64, scripts/profile_trace.py), the f32 one is ~free.
+    if choice == "f64dot":
+        n = A32.shape[-1]
+        floor = (eps32 * jnp.sqrt(jnp.asarray(float(n), jnp.float32))
+                 * jnp.max(jnp.abs(minv)))
+
+        def cheap_cond(carry):
+            minv, it = carry
+            del minv
+            return need & (it < 3)
+
+        def cheap_body(carry):
+            minv, it = carry
+            R = jnp.eye(n, dtype=jnp.float32) - jnp.matmul(
+                A32, minv, precision=lax.Precision.HIGHEST)
+            rn = rnorm(R)
+            # stop once within ~8x of the measurement floor: further
+            # cheap sweeps would chase their own noise
+            do = rn > jnp.maximum(jnp.asarray(tol, jnp.float32), 8.0 * floor)
+            minv = jnp.where(
+                do, minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
+                minv)
+            return minv, jnp.where(do, it + 1, jnp.asarray(3, jnp.int32))
+
+        minv, _ = lax.while_loop(cheap_cond, cheap_body,
+                                 (minv, jnp.asarray(0, jnp.int32)))
+
+    # Phase 2: accurate residual, sweep until max|R| <= tol.
     def cond(carry):
         _, rn, it = carry
         return (rn > tol) & (it < max_sweeps)
