@@ -327,8 +327,6 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
     # cost at nc=24/B=64, scripts/profile_trace.py), the f32 one is ~free.
     if choice == "f64dot":
         n = A32.shape[-1]
-        floor = (eps32 * jnp.sqrt(jnp.asarray(float(n), jnp.float32))
-                 * jnp.max(jnp.abs(minv)))
 
         def cheap_cond(carry):
             minv, it = carry
@@ -340,9 +338,10 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
             R = jnp.eye(n, dtype=jnp.float32) - jnp.matmul(
                 A32, minv, precision=lax.Precision.HIGHEST)
             rn = rnorm(R)
-            # stop once within ~8x of the measurement floor: further
-            # cheap sweeps would chase their own noise
-            do = rn > jnp.maximum(jnp.asarray(tol, jnp.float32), 8.0 * floor)
+            # sweep while the (noise-floored) measurement still exceeds
+            # tol; at the floor the noisy direction neither helps nor
+            # hurts (true rn ~ max(rn^2, floor)), so cap at 3 sweeps
+            do = rn > tol
             minv = jnp.where(
                 do, minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
                 minv)
@@ -351,10 +350,21 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
         minv, _ = lax.while_loop(cheap_cond, cheap_body,
                                  (minv, jnp.asarray(0, jnp.int32)))
 
-    # Phase 2: accurate residual, sweep until max|R| <= tol.
+    # Phase 2: accurate residual, with a PREDICTED-convergence exit: the
+    # body always sweeps when rn > tol, and the loop stops once the
+    # just-measured rn satisfies rn^2 <= 0.3 tol — the sweep applied with
+    # that residual lands quadratically below tol, so re-measuring only
+    # to confirm it would double the accurate-residual count (the
+    # dominant refactor-path cost; profile_trace). A factor left slightly
+    # above tol in the worst case costs one extra adaptive refinement
+    # sweep per Newton solve downstream, never correctness (Newton
+    # convergence is judged on true f64 residuals).
+    exit_rn = jnp.asarray((0.3 * tol) ** 0.5, jnp.float32)
+
     def cond(carry):
         _, rn, it = carry
-        return (rn > tol) & (it < max_sweeps)
+        return (rn > jnp.maximum(exit_rn, jnp.asarray(tol, jnp.float32))) \
+            & (it < max_sweeps)
 
     def body(carry):
         minv, _, it = carry
@@ -370,4 +380,7 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
                     jnp.asarray(0.0, jnp.float32))
     minv, rn, _ = lax.while_loop(cond, body,
                                  (minv, rn0, jnp.asarray(0, jnp.int32)))
+    # report the predicted post-sweep residual when the exit was taken
+    # on prediction (rn in (tol, exit_rn]): the sweep above still applied
+    rn = jnp.where(rn > tol, jnp.minimum(rn, rn * rn), rn)
     return minv, rn
