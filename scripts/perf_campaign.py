@@ -40,6 +40,19 @@ CONFIGS = {
     "nc16": {"KINETICA_BENCH_NC": "16"},
     # wider sweep at the headline scale
     "b256": {"KINETICA_BENCH_BATCH": "256"},
+    # ---- multi-tile scale (nc=60: 4473 rxns / 181 species, ns_pad=256).
+    # The r3 trace found ~80% of the 33 ms/step UNATTRIBUTED in the
+    # while-loop body here (docs/design.md "multi-tile step cost") — these
+    # variants bracket the Newton linear-solve formulation, the largest
+    # suspect: "inv" (default; per-iteration XLA pair matvecs), "lu"
+    # (XLA triangular solves — launch-bound at nc<=24 but O(n^2) work vs
+    # the inverse's O(n^2) matvec at much lower constant), and
+    # "inv_fused" (one Pallas launch per solve, but batch-chunks to 8
+    # members/launch at n_pad=256 -> 8 serialized launches/iteration).
+    "nc60": {"KINETICA_BENCH_NC": "60"},
+    "nc60_lu": {"KINETICA_BENCH_NC": "60", "KINETICA_BENCH_LINSOLVE": "lu"},
+    "nc60_inv_fused": {"KINETICA_BENCH_NC": "60",
+                       "KINETICA_BENCH_LINSOLVE": "inv_fused"},
 }
 QUICK = ["default", "scan_dispatch", "dd_chunk_256"]
 
