@@ -458,7 +458,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     # Newton linear-solve method: explicit Pallas inverse on TPU ("inv"),
     # LAPACK LU on CPU / wide systems — see linalg.resolve_linsolve.
     linsolve = resolve_linsolve(linsolve, ns)
-    if linsolve in ("inv", "inv_fused"):
+    if linsolve in ("inv", "inv_fused", "inv_gated"):
         lu_dtype = jnp.float32
     if linsolve == "inv_fused":
         # Tile-align the Newton linear algebra ONCE at the source: the
@@ -717,7 +717,14 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             # entirely on the (common) steps where no lane drifted.
             def refactor_body(carry):
                 del carry
-                f = newton_factor(s.J, c_state, lu_dtype, method=linsolve)
+                # need_lu rides into the factor: with linsolve="inv_gated"
+                # the batch rule compacts the Gauss-Jordan + Newton-Schulz
+                # build to the needing lanes only (the ANY-lane gate fires
+                # ~every step at B=64 although each lane refactors ~0.2x/
+                # step); non-needing lanes get zeros, discarded by this
+                # while_loop's per-lane carry masking.
+                f = newton_factor(s.J, c_state, lu_dtype, method=linsolve,
+                                  need=need_lu)
                 return jnp.asarray(False), f.lu, f.piv
 
             _, lu, piv = lax.while_loop(lambda cr: cr[0], refactor_body,

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.scipy.linalg import lu_factor, lu_solve
 
 from .pallas_linalg import MAX_PALLAS_N, gj_inverse
@@ -89,8 +90,103 @@ def _equilibrate(A):
     return As * dc[None, :], dr, dc
 
 
+def _inv_factor_one(A):
+    """Equilibrate -> Pallas Gauss-Jordan inverse -> Newton-Schulz refine
+    -> fold the scales back: the full "inv"-method factor build for ONE
+    Newton matrix (vmap batches it; see ``_inv_factor_gated`` for the
+    lane-compacted batch rule).
+
+    Newton-Schulz with pair-precision residuals: the f32 inversion
+    error is ~eps32 * cond(As); for saturated-rate CRNs cond can
+    reach 1e7+ even after equilibration, leaving 10%+ solve errors
+    that stall the integrator's Newton iteration (its 2nd iterate
+    becomes solve error, tripping the divergence test). Quadratic
+    refinement drives the factor residual below 3e-5 in 0-4 cheap
+    f32 matmul sweeps (ops/dd.py).
+    """
+    from .dd import newton_schulz_refine
+    As, dr, dc = _equilibrate(A)
+    # explicit inv on the CPU backend (debug/verification; "auto"
+    # never picks it there) runs the kernel in interpret mode
+    minv32 = gj_inverse(As, interpret=jax.default_backend() == "cpu")
+    minv32, _ = newton_schulz_refine(minv32, As)
+    return dc[:, None] * minv32 * dr[None, :]
+
+
+@jax.custom_batching.custom_vmap
+def _inv_factor_gated(A, need):
+    del need
+    return _inv_factor_one(A)
+
+
+@_inv_factor_gated.def_vmap
+def _inv_factor_gated_vmap(axis_size, in_batched, A, need):
+    """Lane-compacted batch rule for the gated factor refresh.
+
+    The BDF step gates its refactor behind a zero-trip while_loop, but
+    vmap batches that loop as run-while-ANY-lane-needs-it: with per-lane
+    refresh rates ~0.2/step, the ANY-lane probability at B=64 is ~1, so
+    the full-batch Gauss-Jordan + Newton-Schulz runs nearly every step
+    even though each lane uses ~20% of the results. This rule gathers
+    the needing lanes into a B/4- (or B/2-) sized sub-batch, factors
+    only those, and scatters back — lanes with ``need=False`` receive
+    zeros, which the batched while_loop's per-lane carry masking
+    discards (their old factors are kept). Falls back to the full batch
+    when more than B/2 lanes need a refresh.
+    """
+    del axis_size
+    a_b, n_b = in_batched
+    assert a_b, "A must carry the batch axis"
+    single = jax.vmap(_inv_factor_one)
+    B = A.shape[0]
+    if (not n_b) or B < 16:
+        # unbatched need = every lane in the same state: nothing to compact
+        return single(A), True
+
+    def bucketed(bucket):
+        idx = jnp.argsort(~need)[:bucket]
+        sub = single(A[idx])
+        return jnp.zeros((B,) + A.shape[-2:], sub.dtype).at[idx].set(sub)
+
+    tiers = sorted({b for b in (_pad8(-(-B // 4)), _pad8(-(-B // 2)))
+                    if b < B})
+    if not tiers:
+        return single(A), True
+    count = jnp.sum(need)
+
+    def dispatch(remaining):
+        if not remaining:
+            return single(A)
+        b = remaining[0]
+        return lax.cond(count <= b, lambda _: bucketed(b),
+                        lambda _: dispatch(remaining[1:]), operand=None)
+
+    return dispatch(tiers), True
+
+
+def _pad8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+@jax.custom_jvp
+def _inv_factor_diff(A, need):
+    return _inv_factor_gated(A, need)
+
+
+@_inv_factor_diff.defjvp
+def _inv_factor_jvp(primals, tangents):
+    """d(A^-1) = -A^-1 dA A^-1 — the factor is a (refined) approximate
+    inverse, so the analytic inverse differential is the right tangent
+    (same rule as ``pallas_linalg._gj_inverse_jvp``); ``need`` is a
+    gating flag with no tangent."""
+    (A, need), (dA, _) = primals, tangents
+    M = _inv_factor_diff(A, need)
+    dM = -(M @ dA.astype(M.dtype) @ M)
+    return M, dM
+
+
 def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
-                  method: str = "lu") -> NewtonFactors:
+                  method: str = "lu", need=None) -> NewtonFactors:
     """Factor A = I - c J at ``lu_dtype`` precision (equilibrated).
 
     ``method`` "lu": LAPACK-style LU factors of the equilibrated matrix
@@ -99,27 +195,23 @@ def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
     "inv": explicit f32 inverse computed by one Pallas launch
     (ops/pallas_linalg.py) with the scales FOLDED into the stored matrix
     (A^-1 = Dc (Dr A Dc)^-1 Dr), so each back-substitution stays a
-    single fused matvec.
+    single fused matvec. "inv_gated": same factor, but under vmap the
+    build is compacted to the lanes whose ``need`` flag is set (see
+    ``_inv_factor_gated_vmap``); lanes with ``need=False`` get zeros and
+    MUST be masked out by the caller (the BDF refactor while_loop is).
     """
     dtype = J.dtype
     ns = J.shape[0]
     A = _newton_matrix(J, c)
 
+    if method == "inv_gated":
+        need_arr = (jnp.asarray(True) if need is None
+                    else jnp.asarray(need, bool))
+        minv = _inv_factor_diff(A, need_arr)
+        return NewtonFactors(lu=minv, piv=jnp.zeros((ns,), jnp.int32),
+                             J=J, c=jnp.asarray(c, dtype))
     if method in ("inv", "inv_fused"):
-        from .dd import newton_schulz_refine
-        As, dr, dc = _equilibrate(A)
-        # explicit inv on the CPU backend (debug/verification; "auto"
-        # never picks it there) runs the kernel in interpret mode
-        minv32 = gj_inverse(As, interpret=jax.default_backend() == "cpu")
-        # Newton-Schulz with pair-precision residuals: the f32 inversion
-        # error is ~eps32 * cond(As); for saturated-rate CRNs cond can
-        # reach 1e7+ even after equilibration, leaving 10%+ solve errors
-        # that stall the integrator's Newton iteration (its 2nd iterate
-        # becomes solve error, tripping the divergence test). Quadratic
-        # refinement drives the factor residual below 3e-5 in 0-4 cheap
-        # f32 matmul sweeps (ops/dd.py).
-        minv32, _ = newton_schulz_refine(minv32, As)
-        minv = dc[:, None] * minv32 * dr[None, :]
+        minv = _inv_factor_one(A)
         return NewtonFactors(lu=minv, piv=jnp.zeros((ns,), jnp.int32),
                              J=J, c=jnp.asarray(c, dtype))
     if lu_dtype == jnp.float32:
@@ -159,7 +251,7 @@ def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
                                   n_sweeps=max_refine,
                                   interpret=jax.default_backend() == "cpu")
 
-    if method == "inv":
+    if method in ("inv", "inv_gated"):
         def solve32(v):
             return (f.lu @ v.astype(lu_dtype)).astype(dtype)
     elif lu_dtype == jnp.float32:
@@ -175,7 +267,7 @@ def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
             return lu_solve((f.lu, f.piv), v.astype(lu_dtype)).astype(dtype)
 
     dy = solve32(b)
-    if lu_dtype == dtype and method != "inv":
+    if lu_dtype == dtype and method not in ("inv", "inv_gated"):
         return dy
     jdt = f.J.dtype
     c = jnp.asarray(f.c, dtype)

@@ -58,6 +58,9 @@ class ODESimulationParams:
     # refinement) in one Pallas launch — faster on saturated /
     # ill-conditioned regimes where refinement sweeps run deep, slower
     # on shallow-converging solves (ops/linalg.resolve_linsolve).
+    # "inv_gated" compacts gated factor refreshes to the lanes whose c
+    # drifted (the ANY-lane refactor gate fires ~every step at B=64) —
+    # see ops/linalg._inv_factor_gated.
     linsolve: str = "auto"
     # Relative c = h/alpha drift above which the cached Newton factor is
     # refactored (CVODE's dgmax analogue, and its 0.3 default; stale-c
@@ -140,9 +143,11 @@ class ODESimulationParams:
             raise ValueError("rhs_contraction must be one of "
                              "['auto', 'float64', 'dd', 'fused']")
 
-        if self.linsolve not in ("auto", "lu", "inv", "inv_fused"):
+        if self.linsolve not in ("auto", "lu", "inv", "inv_fused",
+                                 "inv_gated"):
             raise ValueError("linsolve must be one of "
-                             "['auto', 'lu', 'inv', 'inv_fused']")
+                             "['auto', 'lu', 'inv', 'inv_fused', "
+                             "'inv_gated']")
 
         if not (0.0 <= self.lu_drift_tol < 1.0):
             raise ValueError("lu_drift_tol must be in [0, 1)")

@@ -53,6 +53,14 @@ CONFIGS = {
     "nc60_lu": {"KINETICA_BENCH_NC": "60", "KINETICA_BENCH_LINSOLVE": "lu"},
     "nc60_inv_fused": {"KINETICA_BENCH_NC": "60",
                        "KINETICA_BENCH_LINSOLVE": "inv_fused"},
+    # lane-compacted factor refreshes (ops/linalg._inv_factor_gated): only
+    # the lanes whose c drifted get the Gauss-Jordan + Newton-Schulz
+    # rebuild — the collective ANY-lane gate fires ~every step at B=64
+    # although per-lane rates are ~0.2, so the default pays the full-batch
+    # inverse almost every iteration (the corrected multi-tile attribution)
+    "inv_gated": {"KINETICA_BENCH_LINSOLVE": "inv_gated"},
+    "nc60_inv_gated": {"KINETICA_BENCH_NC": "60",
+                       "KINETICA_BENCH_LINSOLVE": "inv_gated"},
 }
 QUICK = ["default", "scan_dispatch", "dd_chunk_256"]
 

@@ -245,3 +245,83 @@ def test_bdf_linsolve_inv_fused_end_to_end():
     assert int(res.status) == bdf.DONE
     np.testing.assert_allclose(np.asarray(res.ys[-1]), ref, rtol=1e-7)
 
+
+class TestGatedFactor:
+    """linsolve="inv_gated": lane-compacted factor refreshes (the batch
+    rule gathers only the lanes whose ``need`` flag is set — the ANY-lane
+    refactor gate fires ~every step at production batch sizes although
+    each lane refactors ~0.2x/step)."""
+
+    def _batch(self, B, n, seed=0):
+        rng = np.random.default_rng(seed)
+        J = rng.standard_normal((B, n, n))
+        c = 0.02 + 0.01 * rng.random(B)
+        A = np.eye(n)[None] - c[:, None, None] * J
+        return jnp.asarray(A), jnp.asarray(J), jnp.asarray(c)
+
+    def test_compacted_lanes_match_full(self):
+        from kinetica_tpu.ops.linalg import _inv_factor_gated, _inv_factor_one
+        B, n = 32, 8
+        A, _, _ = self._batch(B, n)
+        need = np.zeros(B, bool)
+        need[[3, 11, 30]] = True                    # 3 lanes <= B/4 bucket
+        out = np.asarray(jax.vmap(_inv_factor_gated)(A, jnp.asarray(need)))
+        full = np.asarray(jax.vmap(_inv_factor_one)(A))
+        np.testing.assert_allclose(out[need], full[need], rtol=1e-5,
+                                   atol=1e-6)
+        # non-needing lanes get either bucket fill-in (valid inverses) or
+        # zeros — both discarded by the BDF while_loop's per-lane carry
+        # masking; they must never be non-finite
+        assert np.all(np.isfinite(out))
+        # lanes beyond the bucket are untouched zeros (bucket = 8 here:
+        # the 3 needing lanes + 5 fill-ins, all others zero-filled)
+        filled = np.abs(out).reshape(B, -1).max(axis=1) > 0
+        assert filled.sum() == 8 and filled[need].all()
+
+    def test_overflow_falls_back_to_full(self):
+        from kinetica_tpu.ops.linalg import _inv_factor_gated, _inv_factor_one
+        B, n = 32, 6
+        A, _, _ = self._batch(B, n, seed=1)
+        need = jnp.ones(B, bool)                    # > B/2: full path
+        out = np.asarray(jax.vmap(_inv_factor_gated)(A, need))
+        full = np.asarray(jax.vmap(_inv_factor_one)(A))
+        np.testing.assert_allclose(out, full, rtol=1e-6, atol=1e-7)
+
+    def test_unbatched_is_plain_factor(self):
+        from kinetica_tpu.ops.linalg import _inv_factor_one
+        _, J, c = self._batch(1, 7, seed=2)
+        f = newton_factor(J[0], c[0], method="inv_gated")
+        ref = np.asarray(_inv_factor_one(jnp.eye(7) - c[0] * J[0]))
+        np.testing.assert_allclose(np.asarray(f.lu), ref, rtol=1e-6,
+                                   atol=1e-7)
+
+    def test_bdf_vmapped_end_to_end_matches_lu(self):
+        """A vmapped stiff solve through inv_gated (interpret-mode kernels
+        on CPU) matches the LAPACK-LU solve lane for lane. Lanes carry
+        different stiffness so their refactor cadences (and hence the
+        compaction masks) differ."""
+        n = 3
+        base = jnp.asarray([[-1.0, 0.2, 0.0], [0.3, -2.0, 0.1],
+                            [0.0, 0.5, -0.5]])
+        rates = jnp.linspace(1.0, 40.0, 16)         # B=16 -> b1 bucket 8
+        rhs = lambda t, y, a: (a * base) @ y
+        jac = lambda t, y, a: a * base
+        saveat = jnp.array([0.5, 1.0])
+
+        def solve(linsolve):
+            def one(a):
+                return bdf.bdf_solve(rhs, jac, jnp.ones(n), 0.0, 1.0,
+                                     saveat, rtol=1e-8, atol=1e-10,
+                                     linsolve=linsolve, args=a)
+            res = jax.vmap(one)(rates)
+            assert np.all(np.asarray(res.status) == bdf.DONE)
+            return np.asarray(res.ys[:, -1])
+
+        np.testing.assert_allclose(solve("inv_gated"), solve("lu"),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_params_accept_inv_gated(self):
+        from kinetica_tpu.solving.params import ODESimulationParams
+        pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0},
+                                   linsolve="inv_gated")
+        assert pars.linsolve == "inv_gated"
