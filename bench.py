@@ -228,7 +228,10 @@ def run_device_phase(cpu_final_path, platform):
     env["KINETICA_BENCH_CHILD_RESULT"] = result_path
     env["KINETICA_BENCH_CHILD_CPUFINAL"] = cpu_final_path
     env["KINETICA_BENCH_CHILD_PLATFORM"] = platform
-    for attempt in range(1, DEVICE_PHASE_ATTEMPTS + 1):
+    # CPU-fallback runs are deterministic: a timeout there will time out
+    # again, so don't burn the retry budget on it
+    attempts = 1 if platform == "cpu" else DEVICE_PHASE_ATTEMPTS
+    for attempt in range(1, attempts + 1):
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                timeout=DEVICE_PHASE_TIMEOUT, env=env)
@@ -241,7 +244,7 @@ def run_device_phase(cpu_final_path, platform):
             log(f"device phase attempt {attempt} timed out "
                 f"({DEVICE_PHASE_TIMEOUT:.0f}s)")
             err = "device phase timeout"
-        if attempt < DEVICE_PHASE_ATTEMPTS:
+        if attempt < attempts:
             time.sleep(60.0 * attempt)
             # re-probe before burning another long attempt
             if platform != "cpu" and probe_backend(budget_s=600) is None:
