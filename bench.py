@@ -228,9 +228,7 @@ def run_device_phase(cpu_final_path, platform):
     env["KINETICA_BENCH_CHILD_RESULT"] = result_path
     env["KINETICA_BENCH_CHILD_CPUFINAL"] = cpu_final_path
     env["KINETICA_BENCH_CHILD_PLATFORM"] = platform
-    # CPU-fallback runs are deterministic: a timeout there will time out
-    # again, so don't burn the retry budget on it
-    attempts = 1 if platform == "cpu" else DEVICE_PHASE_ATTEMPTS
+    attempts = DEVICE_PHASE_ATTEMPTS
     for attempt in range(1, attempts + 1):
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -244,6 +242,11 @@ def run_device_phase(cpu_final_path, platform):
             log(f"device phase attempt {attempt} timed out "
                 f"({DEVICE_PHASE_TIMEOUT:.0f}s)")
             err = "device phase timeout"
+            # CPU-fallback runs are deterministic: a timeout there will
+            # time out again, so stop — but crashes (transient OOM kill
+            # etc.) still get the retry budget even on CPU.
+            if platform == "cpu":
+                break
         if attempt < attempts:
             time.sleep(60.0 * attempt)
             # re-probe before burning another long attempt

@@ -721,8 +721,11 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                 # the batch rule compacts the Gauss-Jordan + Newton-Schulz
                 # build to the needing lanes only (the ANY-lane gate fires
                 # ~every step at B=64 although each lane refactors ~0.2x/
-                # step); non-needing lanes get zeros, discarded by this
-                # while_loop's per-lane carry masking.
+                # step). Non-needing lanes receive zeros OR arbitrary
+                # bucket fill-in values (the compaction scatters valid
+                # inverses into up to bucket-minus-count fill lanes) and
+                # MUST be masked by the caller — here the while_loop's
+                # per-lane carry masking discards them.
                 f = newton_factor(s.J, c_state, lu_dtype, method=linsolve,
                                   need=need_lu)
                 return jnp.asarray(False), f.lu, f.piv

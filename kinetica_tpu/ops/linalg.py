@@ -129,10 +129,13 @@ def _inv_factor_gated_vmap(axis_size, in_batched, A, need):
     the full-batch Gauss-Jordan + Newton-Schulz runs nearly every step
     even though each lane uses ~20% of the results. This rule gathers
     the needing lanes into a B/4- (or B/2-) sized sub-batch, factors
-    only those, and scatters back — lanes with ``need=False`` receive
-    zeros, which the batched while_loop's per-lane carry masking
-    discards (their old factors are kept). Falls back to the full batch
-    when more than B/2 lanes need a refresh.
+    only those, and scatters back. Lanes with ``need=False`` receive
+    EITHER zeros (lanes outside the bucket) OR arbitrary fill-in values
+    (the bucket is padded with up to bucket-minus-count non-needing
+    lanes, whose valid-but-unrequested inverses are scattered back too)
+    — callers MUST mask by ``need``; the batched while_loop's per-lane
+    carry masking does, keeping non-needing lanes' old factors. Falls
+    back to the full batch when more than B/2 lanes need a refresh.
     """
     del axis_size
     a_b, n_b = in_batched
@@ -197,8 +200,9 @@ def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
     (A^-1 = Dc (Dr A Dc)^-1 Dr), so each back-substitution stays a
     single fused matvec. "inv_gated": same factor, but under vmap the
     build is compacted to the lanes whose ``need`` flag is set (see
-    ``_inv_factor_gated_vmap``); lanes with ``need=False`` get zeros and
-    MUST be masked out by the caller (the BDF refactor while_loop is).
+    ``_inv_factor_gated_vmap``); lanes with ``need=False`` get zeros or
+    arbitrary bucket fill-in values and MUST be masked out by the
+    caller (the BDF refactor while_loop is).
     """
     dtype = J.dtype
     ns = J.shape[0]

@@ -96,7 +96,16 @@ def run_config(name, overrides):
 
 
 def main():
-    names = QUICK if "--quick" in sys.argv else list(CONFIGS)
+    requested = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if requested:
+        unknown = [n for n in requested if n not in CONFIGS]
+        if unknown:
+            sys.exit(f"unknown config(s): {unknown}; known: {list(CONFIGS)}")
+        names = requested
+    elif "--quick" in sys.argv:
+        names = QUICK
+    else:
+        names = list(CONFIGS)
     done = set()
     if os.path.exists(RESULTS):
         with open(RESULTS) as fh:

@@ -46,7 +46,7 @@ def main():
     print(f"{rd.nr} rxns / {sd.n} species, tf={TF}, {n_chunks} chunks, "
           f"rtol={RTOL} atol={ATOL}")
     print(f"{'rate':>6} {'ours':>6} {'scipy':>6} {'ratio':>6}  "
-          f"(accepted steps, chunk-summed)")
+          f"(accepted steps both sides, chunk-summed)")
 
     for r in rates:
         conds = ConditionSet({"T": LinearGradientProfile(
@@ -56,7 +56,12 @@ def main():
             solve_chunks=True, solve_chunkstep=CHUNKSTEP,
             low_k_cutoff="none", abstol=ATOL, reltol=RTOL)
         res = solve_network(VariableODESolve(pars, conds, calc), sd, rd)
-        ours = int(np.sum(np.asarray(res.sol.stats["n_steps"])))
+        # n_accepted, not n_steps: n_steps counts every ATTEMPT (rejected
+        # steps included, bdf.py increments it unconditionally) while
+        # scipy's sol.t.size-1 is accepted steps only — mixing them would
+        # inflate our side of the ratio.
+        ours = int(np.sum(np.asarray(res.sol.stats["n_accepted"])))
+        rej = int(np.sum(np.asarray(res.sol.stats["n_rejected"])))
 
         # scipy on the identical chunk sequence (local-time formalism)
         rhs_f, jac_f, u0 = _scipy_problem(
@@ -73,7 +78,8 @@ def main():
             assert sol.success, sol.message
             y = sol.y[:, -1]
             sp_steps += sol.t.size - 1
-        print(f"{r:>6.1f} {ours:>6d} {sp_steps:>6d} {ours / sp_steps:>6.2f}")
+        print(f"{r:>6.1f} {ours:>6d} {sp_steps:>6d} {ours / sp_steps:>6.2f}"
+              f"  (+{rej} rejected)")
 
 
 def _scipy_problem(build_numpy_mass_action, arrhenius_k_of_t, sd, rd, calc,

@@ -325,3 +325,59 @@ class TestGatedFactor:
         pars = ODESimulationParams(tspan=(0.0, 1.0), u0={"A": 1.0},
                                    linsolve="inv_gated")
         assert pars.linsolve == "inv_gated"
+
+    def test_jvp_matches_inv_path_under_compaction(self):
+        """The custom JVP (_inv_factor_jvp: d(A^-1) = -A^-1 dA A^-1) must
+        agree with the ungated "inv" path's differentiation on the lanes
+        whose ``need`` flag is set, THROUGH the compaction batch rule
+        (mixed mask, B >= 16 so the bucketed scatter path runs). Masked
+        lanes yield zero M and hence zero dM — also asserted, since the
+        BDF carry masking relies on discarding them."""
+        from kinetica_tpu.ops.linalg import _inv_factor_diff, _inv_factor_one
+        B, n = 16, 5
+        A, _, _ = self._batch(B, n, seed=3)
+        dA = jnp.asarray(np.random.default_rng(7).standard_normal((B, n, n)))
+        need = np.zeros(B, bool)
+        need[[0, 5, 13]] = True
+
+        gated = jax.vmap(_inv_factor_diff, in_axes=(0, 0))
+        M, dM = jax.jvp(lambda a: gated(a, jnp.asarray(need)), (A,), (dA,))
+        # Reference tangent: the ungated "inv" factor plus the analytic
+        # inverse differential d(A^-1) = -A^-1 dA A^-1 evaluated
+        # independently (differentiating _inv_factor_one directly is not
+        # possible on CPU: its interpret-mode pallas_call has no JVP rule
+        # — which is exactly why _inv_factor_diff carries a custom one).
+        M_ref = jax.vmap(_inv_factor_one)(A)
+        dM_ref = -(M_ref @ dA.astype(M_ref.dtype) @ M_ref)
+        np.testing.assert_allclose(np.asarray(M)[need],
+                                   np.asarray(M_ref)[need],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dM)[need],
+                                   np.asarray(dM_ref)[need],
+                                   rtol=1e-4, atol=1e-5)
+        assert np.all(np.isfinite(np.asarray(dM)))
+        # zero-M lanes (outside the bucket) propagate zero tangents
+        zero_lanes = np.abs(np.asarray(M)).reshape(B, -1).max(axis=1) == 0
+        assert zero_lanes.any()
+        assert np.all(np.asarray(dM)[zero_lanes] == 0.0)
+
+    def test_jvp_through_solve_matches_lu(self):
+        """Forward-mode through a Newton solve using the gated factor
+        (unbatched: the plain-factor path) matches the LAPACK-"lu" path's
+        tangent — the composition forward-sensitivity solves (jacfwd
+        through the BDF Newton loop) actually exercise. (Reverse mode is
+        out of scope: newton_solve's adaptive refinement while_loop is
+        not reverse-differentiable.)"""
+        _, J, c = self._batch(1, 4, seed=5)
+        rng = np.random.default_rng(9)
+        b = jnp.asarray(rng.standard_normal(4))
+        dJ = jnp.asarray(rng.standard_normal((4, 4)))
+
+        def loss(j, method):
+            f = newton_factor(j, c[0], method=method)
+            return jnp.sum(newton_solve(f, b, method=method) ** 2)
+
+        l_g, dl_g = jax.jvp(lambda j: loss(j, "inv_gated"), (J[0],), (dJ,))
+        l_lu, dl_lu = jax.jvp(lambda j: loss(j, "lu"), (J[0],), (dJ,))
+        np.testing.assert_allclose(float(l_g), float(l_lu), rtol=1e-6)
+        np.testing.assert_allclose(float(dl_g), float(dl_lu), rtol=1e-4)
