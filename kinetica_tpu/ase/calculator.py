@@ -69,7 +69,12 @@ class ASENEBCalculator(KineticCalculator):
     geom_optimiser: str = "BFGSLineSearch"
     geom_fmax: float = 0.01
     vib_delta: float = 0.01
-    imaginary_ve_tol: float = 0.1
+    # imaginary-frequency tolerance (reference calculator.jl:93 default
+    # 1e-2), converted to an eV imaginary-energy tolerance via
+    # conversion.imaginary_ve_tol; set imaginary_ve_tol to override the
+    # converted value directly with an explicit eV magnitude.
+    imaginary_freq_tol: float = 1e-2
+    imaginary_ve_tol: float | None = None
     # behaviour
     remove_unconverged: bool = True
     k_max: float | None = None
@@ -79,6 +84,9 @@ class ASENEBCalculator(KineticCalculator):
     def __post_init__(self):
         backends.require("ase", backends.HAS_ASE,
                          "the ASE-NEB TST calculator")
+        if self.imaginary_ve_tol is None:
+            from .conversion import imaginary_ve_tol as _ivetol
+            self.imaginary_ve_tol = _ivetol(self.imaginary_freq_tol)
         self.t_mult = tconvert(self.t_unit, "s")
         self.sd: SpeciesData | None = None
         self.rd: RxData | None = None

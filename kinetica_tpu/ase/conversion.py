@@ -3,13 +3,16 @@
 Capability parity with /root/reference/src/ase/conversion.jl: frames carry
 initial charges/magmoms into Atoms (conversion.jl:16-36), Atoms come back
 as frames with energies/inertias (conversion.jl:50-64), and
-:func:`imaginary_ve_tol` converts an imaginary-frequency tolerance in
-cm^-1 to the eV energy magnitude ASE reports (conversion.jl:72-74).
+:func:`imaginary_ve_tol` converts an imaginary-frequency tolerance into
+the eV energy magnitude ASE reports (conversion.jl:70-74).
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
+from .. import constants
 from ..chem import backends, frame_positions, frame_species, make_frame
 
 INVCM_TO_EV = 1.23984193e-4  # 1 cm^-1 in eV
@@ -51,6 +54,11 @@ def atoms_to_frame(atoms, energy=None, inertias=None):
     return frame
 
 
-def imaginary_ve_tol(tol_invcm: float) -> float:
-    """Imaginary-mode tolerance cm^-1 -> eV magnitude (conversion.jl:72-74)."""
-    return abs(tol_invcm) * INVCM_TO_EV
+def imaginary_ve_tol(imaginary_freq_tol: float) -> float:
+    """Imaginary-frequency tolerance -> imaginary vibrational-energy
+    tolerance in eV (conversion.jl:70-74): ``tol^-1/2 * hbar * 1e10 /
+    sqrt(e * amu)`` — the energy of a mode whose force constant is
+    ``1/tol`` eV/A^2. Golden: imaginary_ve_tol(1e-3) ==
+    2.0445437750827997 (reference test/Python/ase.jl:16)."""
+    return (float(imaginary_freq_tol) ** -0.5) * constants.hbar * 1e10 \
+        / math.sqrt(constants.e * constants.amu)

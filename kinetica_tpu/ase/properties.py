@@ -190,7 +190,6 @@ def kabsch_fit_frame(frame1, frame2) -> dict:
 def get_hydrogen_idxs(amsmi: str) -> list[list[int]]:
     """Map numbers of H atoms per fragment of an atom-mapped SMILES
     (optimise.jl:332-357). 1-based map numbers, grouped by '.'-fragments."""
-    mol_groups: list[list[int]] = [[]]
     mol = from_smiles(amsmi)
     mapnums = getattr(mol, "_map_numbers", {})
     # group atoms by connected fragment in SMILES order
@@ -198,9 +197,14 @@ def get_hydrogen_idxs(amsmi: str) -> list[list[int]]:
     frags = split_fragments(mol)
     out = []
     for frag, idx in frags:
-        hs = [mapnums[i] for i in idx
+        # SMILES-string appearance order, NOT sorted — the reference's
+        # parser (optimise.jl:332-357) collects H map numbers in the
+        # order they appear in the string (golden ase.jl:41:
+        # "[C:1](=[C:2]([H:5])[H:6])([H:3])[H:4]" -> [[5, 6, 3, 4]])
+        # and downstream bookkeeping indexes into that order.
+        hs = [mapnums[i] for i in sorted(idx)
               if mol.species[i] == "H" and i in mapnums]
-        out.append(sorted(hs))
+        out.append(hs)
     return out
 
 

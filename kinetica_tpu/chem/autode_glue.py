@@ -7,9 +7,12 @@ lowest-energy conformer search per species and NCI-complex conformer search
 for multi-molecule reaction endpoints (conformers.jl:19-103, xTB-driven).
 
 Without autodE installed, :func:`frame_symmetry` falls back to a
-first-party inertia-based geometry classification with symmetry number 1
-(conservative: underestimating symmetry biases TST rates by a constant
-factor sigma, not the T-dependence).
+first-party implementation: geometry classification from the perceived
+bond graph (exact — independent of embedding sloppiness), and the
+rotational symmetry number counted as the graph automorphisms that are
+realizable as PROPER rotations of the embedded geometry (Kabsch fit
+with det(R)=+1). Reference goldens reproduced: ethene -> (4, 2), C#C
+-> geometry class 1 (test/Python/autode.jl:40, 56-58).
 """
 from __future__ import annotations
 
@@ -20,18 +23,128 @@ import numpy as np
 
 from ..utils.logging import logger
 from . import backends
-from .xyz import frame_to_xyz, xyz_to_frame
+from .xyz import frame_positions, frame_to_xyz, xyz_to_frame
 
 LINEAR_INERTIA_TOL = 1e-2  # amu Å^2: smallest principal moment ~ 0 => linear
+# Proper-rotation RMSD acceptance for the automorphism -> rotation test.
+# With the VSEPR + pi-planarity embedder, true rotations fit at
+# <= ~0.12 Å while improper-only permutations sit at >= ~0.29 Å (NH3's
+# H swaps — reflections through the shallow pyramid — are the closest
+# impostors); 0.2 splits the distributions. Distorted embeddings can
+# only UNDERcount (methyl-torsion misalignment drops isobutane's C3),
+# which is the conservative direction the sigma=1 fallback already had.
+SYMMETRY_RMSD_TOL = 0.2
+MAX_SYMMETRY_ATOMS = 30        # automorphism enumeration guard
+MAX_SYMMETRY_MAPS = 20000
 
 
-def frame_geometry_class(frame) -> int:
-    """0 = monoatomic, 1 = linear, 2 = nonlinear — from principal moments."""
-    if frame["N_atoms"] == 1:
+def frame_geometry_class(frame, mol=None) -> int:
+    """0 = monoatomic, 1 = linear, 2 = nonlinear (utils.jl:30-39).
+
+    Decided from the perceived bond graph when possible: linear iff no
+    atom has more than two neighbours and every internal (2-neighbour)
+    atom is an sp centre (total bond order to its neighbours >= 4 —
+    C#C, O=C=O, HCN...). Diatomics are linear by construction. Falls
+    back to the principal-moments test when perception fails (e.g.
+    distorted TS geometries)."""
+    n = int(frame["N_atoms"])
+    if n == 1:
         return 0
+    if n == 2:
+        return 1
+    if mol is None:
+        try:
+            from .graphmol import mol_from_frame
+            mol = mol_from_frame(frame)
+        except Exception:
+            mol = None
+    if mol is not None:
+        degrees = [len(mol.neighbors(i)) for i in range(mol.n_atoms)]
+        if max(degrees) <= 2:
+            internal = [i for i in range(mol.n_atoms) if degrees[i] == 2]
+            if all(sum(mol.bond_order(i, j) for j in mol.neighbors(i)) >= 4
+                   for i in internal):
+                return 1
+        return 2
     from ..ase.properties import moments_of_inertia
     moments = moments_of_inertia(frame)
-    return 1 if moments[0] < LINEAR_INERTIA_TOL else 2
+    return 1 if moments[0] < max(LINEAR_INERTIA_TOL,
+                                 5e-2 * moments[2]) else 2
+
+
+def _proper_kabsch_rmsd(x: np.ndarray, q: np.ndarray) -> float:
+    """RMSD of the best PROPER rotation (det +1) mapping x onto q, both
+    centred on their centroids."""
+    xc = x - x.mean(axis=0)
+    qc = q - q.mean(axis=0)
+    H = xc.T @ qc
+    U, _, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+    return float(np.sqrt(np.mean(np.sum((xc @ R.T - qc) ** 2, axis=1))))
+
+
+def rotational_symmetry_number(frame, mol=None,
+                               tol: float = SYMMETRY_RMSD_TOL) -> float:
+    """External rotational symmetry number sigma from the embedded
+    geometry: the number of bond-graph automorphisms realizable as
+    proper rotations (det(R) = +1 Kabsch fit under ``tol`` RMSD).
+
+    Linear molecules are special-cased from the graph (sigma = 2 iff the
+    atom/bond chain is palindromic — C#C, O=C=O, [H][H]; else 1), so
+    bent embeddings of genuinely linear species cannot undercount.
+    Enumeration is capped (MAX_SYMMETRY_ATOMS / MAX_SYMMETRY_MAPS); on
+    overflow the count found so far is returned — a valid lower bound,
+    erring on the reference fallback's sigma = 1 side."""
+    n = int(frame["N_atoms"])
+    if n == 1:
+        return 1.0
+    if mol is None:
+        try:
+            from .graphmol import mol_from_frame
+            mol = mol_from_frame(frame)
+        except Exception:
+            return 1.0
+    if frame_geometry_class(frame, mol=mol) == 1:
+        # chain order: walk from one terminal
+        ends = [i for i in range(mol.n_atoms) if len(mol.neighbors(i)) <= 1]
+        if len(ends) != 2:
+            return 1.0
+        chain = [ends[0]]
+        while len(chain) < mol.n_atoms:
+            nxt = [j for j in mol.neighbors(chain[-1]) if j not in chain]
+            if not nxt:
+                break
+            chain.append(nxt[0])
+        if len(chain) != mol.n_atoms:
+            return 1.0
+        syms = [mol.species[i] for i in chain]
+        orders = [mol.bond_order(chain[k], chain[k + 1])
+                  for k in range(len(chain) - 1)]
+        return 2.0 if (syms == syms[::-1]
+                       and orders == orders[::-1]) else 1.0
+    if n > MAX_SYMMETRY_ATOMS:
+        return 1.0
+    import networkx as nx
+    g = mol.to_nx()
+    matcher = nx.algorithms.isomorphism.GraphMatcher(
+        g, g,
+        # chem-lite Molecule.to_nx labels nodes "element"/"charge"
+        node_match=lambda a, b: (a.get("element") == b.get("element")
+                                 and a.get("charge") == b.get("charge")),
+        edge_match=lambda a, b: a.get("order") == b.get("order"))
+    pos = np.asarray(frame_positions(frame), float)
+    count, seen = 0, 0
+    for mapping in matcher.isomorphisms_iter():
+        seen += 1
+        if seen > MAX_SYMMETRY_MAPS:
+            logger.debug("rotational_symmetry_number: automorphism cap hit "
+                         "(%d); returning lower bound %d", seen - 1, count)
+            break
+        perm = np.asarray([mapping[i] for i in range(n)])
+        if _proper_kabsch_rmsd(pos, pos[perm]) < tol:
+            count += 1
+    return float(max(1, count))
 
 
 def frame_to_autode(frame, mult: int = 1, chg: int = 0):
@@ -85,7 +198,13 @@ def frame_symmetry(frame, mult: int = 1, chg: int = 0) -> tuple[float, int]:
         else:
             geom = 2
         return sigma, geom
-    return 1.0, frame_geometry_class(frame)
+    try:
+        from .graphmol import mol_from_frame
+        mol = mol_from_frame(frame)
+    except Exception:
+        mol = None
+    return (rotational_symmetry_number(frame, mol=mol),
+            frame_geometry_class(frame, mol=mol))
 
 
 def autode_conformer_search(sd, sid, calcdir: str = "./") -> None:

@@ -132,9 +132,21 @@ def xyz_from_smiles(smiles: str, seed: int = 10) -> str:
     return frame_to_xyz(frame_from_smiles(smiles, seed=seed))
 
 
+def _lone_pairs(mol: Molecule, i: int) -> int:
+    """Lone pairs from main-group valence-electron count (for VSEPR)."""
+    from .elements import atomic_number
+    z = atomic_number(mol.species[i])
+    ve = z if z <= 2 else (z - 2 if z <= 10 else (z - 10 if z <= 18 else 4))
+    ve -= mol.charges[i]
+    spare = ve - mol.total_bond_order(i) - mol.radical_electrons(i)
+    return max(0, spare) // 2
+
+
 def _embed_3d_lite(mol: Molecule, seed: int = 10, n_steps: int = 400) -> Frame:
-    """Spring-relaxation 3D embedding: bonds at covalent lengths, nonbonded
-    pairs repelled — a distance-geometry-flavoured fallback."""
+    """Spring-relaxation 3D embedding: bonds at covalent lengths, VSEPR
+    1-3 angle springs (lone-pair aware: NH3 pyramidalises, H2O bends,
+    sp carbons straighten), nonbonded pairs repelled — a
+    distance-geometry-flavoured fallback."""
     from .elements import covalent_radius
     rng = np.random.default_rng(seed)
     n = mol.n_atoms
@@ -145,6 +157,45 @@ def _embed_3d_lite(mol: Molecule, seed: int = 10, n_steps: int = 400) -> Frame:
     for (a, b), o in mol.bonds.items():
         r = covalent_radius(mol.species[a]) + covalent_radius(mol.species[b])
         bond_len[(a, b)] = r * (1.0 - 0.08 * (o - 1))
+
+    def blen(a, b):
+        return bond_len.get((a, b)) or bond_len.get((b, a)) or 1.5
+
+    # VSEPR 1-3 rest distances: steric number = neighbours + lone pairs
+    # picks the ideal angle; law of cosines gives the neighbour-pair
+    # separation each angle spring targets.
+    angle_d0 = {}
+    for c in range(n):
+        nb = mol.neighbors(c)
+        if len(nb) < 2:
+            continue
+        sn = len(nb) + _lone_pairs(mol, c)
+        theta = {2: np.pi}.get(sn, 2.0 * np.pi / 3.0 if sn == 3
+                               else np.deg2rad(109.47) if sn == 4
+                               else np.pi / 2.0)
+        for x in range(len(nb)):
+            for y in range(x + 1, len(nb)):
+                a, b = nb[x], nb[y]
+                ra, rb = blen(c, a), blen(c, b)
+                d0 = np.sqrt(ra * ra + rb * rb
+                             - 2.0 * ra * rb * np.cos(theta))
+                angle_d0[(min(a, b), max(a, b))] = d0
+
+    # pi-system planarity: atoms of a double bond between two SN-3
+    # centres plus all their neighbours are restrained to a common
+    # best-fit plane (flattens C=C torsions and aromatic rings — needed
+    # for the rotational-symmetry detection in chem.autode_glue).
+    planar_groups = []
+    for (a, b), o in mol.bonds.items():
+        if o != 2:
+            continue
+        sn_a = len(mol.neighbors(a)) + _lone_pairs(mol, a)
+        sn_b = len(mol.neighbors(b)) + _lone_pairs(mol, b)
+        if sn_a == 3 and sn_b == 3:
+            grp = sorted({a, b, *mol.neighbors(a), *mol.neighbors(b)})
+            if len(grp) > 3:
+                planar_groups.append(np.asarray(grp))
+
     lr = 0.05
     for _ in range(n_steps):
         forces = np.zeros_like(pos)
@@ -154,10 +205,26 @@ def _embed_3d_lite(mol: Molecule, seed: int = 10, n_steps: int = 400) -> Frame:
             f = 2.0 * (dist - r0) * d / dist
             forces[a] += f
             forces[b] -= f
-        # soft repulsion between non-bonded pairs
+        for (a, b), r0 in angle_d0.items():
+            d = pos[b] - pos[a]
+            dist = np.linalg.norm(d) + 1e-12
+            f = 1.0 * (dist - r0) * d / dist
+            forces[a] += f
+            forces[b] -= f
+        for grp in planar_groups:
+            pts = pos[grp]
+            centred = pts - pts.mean(axis=0)
+            # smallest principal direction = plane normal
+            _, _, vt = np.linalg.svd(centred, full_matrices=False)
+            normal = vt[-1]
+            dev = centred @ normal
+            forces[grp] -= 1.5 * dev[:, None] * normal[None, :]
+        # soft repulsion between non-bonded pairs (1-3 pairs are governed
+        # by their angle spring instead)
         for a in range(n):
             for b in range(a + 1, n):
-                if (a, b) in bond_len:
+                if ((a, b) in bond_len or (b, a) in bond_len
+                        or (a, b) in angle_d0):
                     continue
                 d = pos[b] - pos[a]
                 dist = np.linalg.norm(d) + 1e-12

@@ -188,6 +188,55 @@ def split_fragments(mol: Molecule) -> list[tuple[Molecule, list[int]]]:
 # Canonical ranking (Morgan refinement) and SMILES output
 # ---------------------------------------------------------------------------
 
+def aromatic_system(mol: Molecule) -> set[int]:
+    """Atoms of Hückel-aromatic pi systems (Kekulé-invariant membership).
+
+    A pi system is a maximal set of ring atoms (C/N/O/S) each carrying
+    EXACTLY ONE double bond, whose double-bond partner is also in the
+    set, with every atom on a cycle of the set and 4n+2 pi electrons
+    (|set| - 2 divisible by 4 with |set| even: benzene 6, naphthalene
+    10; cyclobutadiene 4 and cyclooctatetraene 8 are excluded). Used to
+    emit aromatic (lowercase) SMILES and to make canonical ranks
+    independent of which Kekulé assignment perception/parsing chose —
+    without it, two embeddings of benzene could canonicalise to
+    different strings and break SpeciesData dedup."""
+    n = mol.n_atoms
+    if not mol.bonds:
+        return set()
+    g = mol.to_nx()
+    try:
+        ring_atoms = set(nx.k_core(g, 2).nodes)
+    except Exception:
+        return set()
+    cand = set()
+    for i in ring_atoms:
+        if mol.species[i] not in ("C", "N", "O", "S"):
+            continue
+        dbl = [j for j in mol.neighbors(i) if mol.bond_order(i, j) == 2]
+        if len(dbl) == 1 and dbl[0] in ring_atoms:
+            cand.add(i)
+    # double-bond partners must both be candidates
+    changed = True
+    while changed:
+        changed = False
+        for i in list(cand):
+            j = next(k for k in mol.neighbors(i)
+                     if mol.bond_order(i, k) == 2)
+            if j not in cand:
+                cand.discard(i)
+                changed = True
+    out: set[int] = set()
+    sub = g.subgraph(cand)
+    for comp in nx.connected_components(sub):
+        comp = set(comp)
+        # every atom on a cycle within the component (no appendages)
+        if set(nx.k_core(sub.subgraph(comp), 2).nodes) != comp:
+            continue
+        if len(comp) % 2 == 0 and (len(comp) - 2) % 4 == 0:
+            out |= comp
+    return out
+
+
 def _initial_invariants(mol: Molecule) -> np.ndarray:
     """Integer-encoded initial atom invariants, shared by the Python and
     native Morgan implementations (identical ranks guaranteed)."""
@@ -211,13 +260,23 @@ def canonical_ranks(mol: Molecule) -> list[int]:
     """
     n = mol.n_atoms
     inv_arr = _initial_invariants(mol)
+    # Kekulé invariance: within an aromatic pi system the double bonds
+    # are an arbitrary perfect matching — rank with those orders
+    # uniformised to 1 so every Kekulé form of the same molecule gets
+    # identical ranks (atom invariants are already Kekulé-invariant:
+    # each aromatic atom carries exactly one double bond).
+    arom = aromatic_system(mol)
+
+    def eff_order(i, j, o):
+        return 1 if (o == 2 and i in arom and j in arom) else o
 
     from .native import morgan_ranks_native
     if mol.bonds:
         items = sorted(mol.bonds.items())
         bond_a = np.array([e[0][0] for e in items], dtype=np.int32)
         bond_b = np.array([e[0][1] for e in items], dtype=np.int32)
-        bond_o = np.array([e[1] for e in items], dtype=np.int32)
+        bond_o = np.array([eff_order(e[0][0], e[0][1], e[1])
+                           for e in items], dtype=np.int32)
     else:
         bond_a = bond_b = bond_o = np.empty(0, dtype=np.int32)
     native = morgan_ranks_native(inv_arr, bond_a, bond_b, bond_o)
@@ -228,7 +287,8 @@ def canonical_ranks(mol: Molecule) -> list[int]:
     for _ in range(2 * n + 2):
         keys = []
         for i in range(n):
-            nb = sorted((ranks[j], mol.bond_order(i, j)) for j in mol.neighbors(i))
+            nb = sorted((ranks[j], eff_order(i, j, mol.bond_order(i, j)))
+                        for j in mol.neighbors(i))
             keys.append((ranks[i], tuple(nb)))
         new_ranks = _ranks_from_keys(keys)
         if new_ranks == ranks:
@@ -247,7 +307,8 @@ def _ranks_from_keys(keys) -> list[int]:
     return [lookup[k] for k in keys]
 
 
-def _atom_token(mol: Molecule, i: int, implicit_h: int, mapnum: int | None) -> str:
+def _atom_token(mol: Molecule, i: int, implicit_h: int, mapnum: int | None,
+                aromatic: bool = False) -> str:
     sym = mol.species[i]
     charge = mol.charges[i]
     rad = mol.radical_electrons(i) - implicit_h  # rad after folding H? computed by caller
@@ -257,6 +318,8 @@ def _atom_token(mol: Molecule, i: int, implicit_h: int, mapnum: int | None) -> s
         or charge != 0
         or mol.radical_electrons(i) > 0
         or sym == "H")
+    if aromatic and len(sym) == 1:
+        sym = sym.lower()
     if not needs_bracket:
         return sym
     h_str = "" if implicit_h == 0 else ("H" if implicit_h == 1 else f"H{implicit_h}")
@@ -293,6 +356,13 @@ def to_smiles(mol: Molecule, canonical: bool = True,
                 skip.add(i)
 
     ranks = canonical_ranks(mol) if canonical else list(range(n))
+    arom = aromatic_system(mol)
+
+    def bond_sym(a, b):
+        o = mol.bond_order(a, b)
+        if o == 2 and a in arom and b in arom:
+            return ""           # aromatic bond: implied
+        return BOND_SYMBOL.get(o, "")
 
     # One deterministic DFS per component produces the spanning tree
     # (children in canonical-rank order) and the ring-closure bonds.
@@ -343,11 +413,12 @@ def to_smiles(mol: Molecule, canonical: bool = True,
         emitted.add(node)
         implicit = fold_h.get(node, 0)
         mapnum = map_numbers[node] if mapped else None
-        frag = [_atom_token(mol, node, implicit, mapnum)]
+        frag = [_atom_token(mol, node, implicit, mapnum,
+                            aromatic=node in arom)]
         for e, num in sorted(ring_bonds.items(), key=lambda kv: kv[1]):
             if node in e:
                 other = e[0] if e[1] == node else e[1]
-                b = BOND_SYMBOL.get(mol.bond_order(node, other), "")
+                b = bond_sym(node, other)
                 digit = f"{num}" if num < 10 else f"%{num}"
                 frag.append(f"{b}{digit}" if other not in emitted else digit)
         kids = [j for j in sorted(
@@ -356,7 +427,7 @@ def to_smiles(mol: Molecule, canonical: bool = True,
             if j != parent and j not in emitted
             and (min(node, j), max(node, j)) not in ring_bonds]
         for idx, child in enumerate(kids):
-            b = BOND_SYMBOL.get(mol.bond_order(node, child), "")
+            b = bond_sym(node, child)
             sub = emit(child, node)
             frag.append(f"({b}{sub})" if idx < len(kids) - 1 else f"{b}{sub}")
         return "".join(frag)

@@ -12,11 +12,17 @@ pipeline — conformers/symmetry, geometry optimisation, endpoint systems,
 (CI-)NEB, TS extraction, finite-difference vibrations, per-rhash disk
 caching, TST rates — exercises in CI on any machine.
 
-The toy potential is an all-pairs Morse with equilibrium at the covalent
-radius sum and a short-range well (a = 4/Å) so that molecules embedded by
-chem-lite sit in their basin, optimisations preserve the molecular graph,
-and stretched bonds cost energy (finite NEB "barriers"). Like EMT, the
-numbers are not chemistry — only the plumbing is under test.
+The toy potential is a bond-aware Morse: the bond graph is perceived
+ONCE from the first geometry a calculator instance evaluates (the same
+covalent-radius rule as chem-lite perception), bonded pairs feel the
+full Morse well at the covalent radius sum, and non-bonded pairs feel
+only the repulsive Morse branch. An all-pairs Morse (the previous form)
+has a compact-cluster global minimum — every pair at covalent distance —
+which line-search optimisers can reach from VSEPR-embedded starts,
+collapsing the molecule; the repulsive-only non-bonded branch removes
+that minimum so optimisations preserve the molecular graph, while
+stretched bonds still cost energy (finite NEB "barriers"). Like EMT,
+the numbers are not chemistry — only the plumbing is under test.
 """
 from __future__ import annotations
 
@@ -41,10 +47,17 @@ def _parse_symbols(symbols) -> list[str]:
 
 
 class ToyMorseCalculator:
-    """Geometry-only pairwise Morse potential (the fake "EMT")."""
+    """Geometry-only bond-aware Morse potential (the fake "EMT").
+
+    Bonds are perceived from the FIRST geometry evaluated (chem-lite's
+    covalent rule: d < r_i + r_j + 0.4 Å) and frozen for the instance's
+    lifetime, matching how the pipeline builds a fresh calculator per
+    optimisation/vibration task. Bonded pairs: full Morse. Non-bonded:
+    repulsive branch only (D x², x = exp(-a (r - r0))) — smooth, decays
+    to zero, and removes the all-pairs compact-cluster minimum."""
 
     def __init__(self, *args, **kwargs):
-        pass
+        self._bonded = None  # (n, n) bool mask, perceived lazily
 
     def _params(self, symbols):
         r = np.array([covalent_radius(s) for s in symbols])
@@ -60,12 +73,16 @@ class ToyMorseCalculator:
         r0 = self._params(symbols)
         d = pos[:, None, :] - pos[None, :, :]
         dist = np.linalg.norm(d, axis=-1)
+        if self._bonded is None or self._bonded.shape[0] != n:
+            self._bonded = dist < (r0 + 0.4)
         iu = np.triu_indices(n, k=1)
         rij = dist[iu]
+        bonded = self._bonded[iu]
         x = np.exp(-MORSE_A * (rij - r0[iu]))
-        e = float(np.sum(MORSE_D * (x * x - 2.0 * x)))
-        # dE/dr = D * (-2a x^2 + 2a x) = 2 D a x (1 - x)
-        dEdr = 2.0 * MORSE_D * MORSE_A * x * (1.0 - x)
+        # bonded: D (x^2 - 2x); non-bonded: D x^2 (repulsive only)
+        e = float(np.sum(MORSE_D * (x * x - 2.0 * x * bonded)))
+        # dE/dr: bonded 2 D a x (1 - x); non-bonded -2 D a x^2
+        dEdr = 2.0 * MORSE_D * MORSE_A * x * (bonded - x)
         unit = d[iu] / np.maximum(rij, 1e-12)[:, None]
         for (i, j, g, u) in zip(iu[0], iu[1], dEdr, unit):
             f[i] -= g * u

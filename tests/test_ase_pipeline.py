@@ -118,7 +118,10 @@ class TestGeometryUtils:
                             [-0.24, 0.93, 0.0]])
         sigma, geom = frame_symmetry(water)
         assert geom == 2
-        assert sigma == 1.0  # conservative fallback without autodE
+        # first-party rotational-automorphism counting: water's C2 (H
+        # swap) is a proper rotation -> sigma = 2 (C2v rotational
+        # subgroup), matching what autodE would report
+        assert sigma == 2.0
 
 
 class TestVibrationLogic:
@@ -142,7 +145,13 @@ class TestVibrationLogic:
         assert 0.3 in out  # real part kept when stripping
 
     def test_imaginary_ve_tol_conversion(self):
-        assert imaginary_ve_tol(100.0) == pytest.approx(0.0124, rel=1e-2)
+        # reference golden (test/Python/ase.jl:16): the reference formula
+        # is tol^-1/2 * hbar * 1e10 / sqrt(e * amu), NOT a linear cm^-1
+        # conversion — exact value pinned
+        assert imaginary_ve_tol(1e-3) == 2.0445437750827997
+        # scaling check: tol^-1/2 => x10 tol is 1/sqrt(10) the energy
+        assert imaginary_ve_tol(1e-2) == pytest.approx(
+            2.0445437750827997 / 10 ** 0.5, rel=1e-12)
 
 
 class TestGating:
