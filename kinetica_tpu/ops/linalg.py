@@ -39,11 +39,17 @@ class NewtonFactors(NamedTuple):
 def resolve_linsolve(method: str, ns: int) -> str:
     """Resolve "auto" to a concrete Newton linear-solve method.
 
-    "inv" (explicit inverse via the Pallas Gauss-Jordan kernel + matvec
-    back-substitutions) is the TPU-native choice — XLA's LU/triangular
-    solves lower to ~n-iteration HLO while loops whose launch latency
-    dominates the whole integrator. CPU keeps "lu" (native f64 LAPACK
-    path, no Pallas backend), as do systems wider than one lane tile.
+    "inv_gated" (explicit inverse via the Pallas Gauss-Jordan kernel +
+    matvec back-substitutions, with the vmap batch rule compacting the
+    factor rebuild to the lanes whose c drifted) is the TPU-native
+    choice — XLA's LU/triangular solves lower to ~n-iteration HLO while
+    loops whose launch latency dominates the whole integrator, and the
+    ungated "inv" pays the full-batch Gauss-Jordan almost every step
+    because the collective ANY-lane refactor gate fires even though
+    per-lane refresh rates are ~0.2/step. Measured (round 4, v5e):
+    1095 rxns/73 sp/B=64 30.9 vs 44.4 ms/profile; 4473 rxns/181 sp
+    199.1 vs 322.1 ms/profile. CPU keeps "lu" (native f64 LAPACK path,
+    no Pallas backend), as do systems wider than MAX_PALLAS_N.
     """
     if method != "auto":
         return method
@@ -53,8 +59,9 @@ def resolve_linsolve(method: str, ns: int) -> str:
     # saturated/ill-conditioned regimes where refinement sweeps run
     # deep, but loses ~10% on the production bench where Newton
     # converges shallow and XLA pipelines the batched MXU matvecs
-    # across the step's dataflow — keep the XLA solve as the default.
-    return "inv"
+    # across the step's dataflow — the gated inverse keeps that XLA
+    # solve and only compacts the factor *rebuild*.
+    return "inv_gated"
 
 
 def _newton_matrix(J, c):

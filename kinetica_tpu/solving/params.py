@@ -52,15 +52,14 @@ class ODESimulationParams:
     # forces the fused kernel; "dd" the sliced-compensated contraction
     # with the XLA rate pipeline; "float64" the plain dot everywhere.
     rhs_contraction: str = "auto"
-    # Newton linear-solve method: "auto" = Pallas explicit inverse +
-    # XLA refinement ("inv") on accelerators, LAPACK "lu" on CPU.
-    # "inv_fused" runs the whole solve (matvec + pair-precision
-    # refinement) in one Pallas launch — faster on saturated /
-    # ill-conditioned regimes where refinement sweeps run deep, slower
-    # on shallow-converging solves (ops/linalg.resolve_linsolve).
-    # "inv_gated" compacts gated factor refreshes to the lanes whose c
-    # drifted (the ANY-lane refactor gate fires ~every step at B=64) —
-    # see ops/linalg._inv_factor_gated.
+    # Newton linear-solve method: "auto" = Pallas explicit inverse with
+    # lane-compacted factor refreshes ("inv_gated") on accelerators,
+    # LAPACK "lu" on CPU (ops/linalg.resolve_linsolve; r4 measured
+    # inv_gated 1.4-1.6x over the ungated "inv" at B=64). "inv" keeps
+    # the full-batch factor rebuild; "inv_fused" runs the whole solve
+    # (matvec + pair-precision refinement) in one Pallas launch —
+    # faster on saturated / ill-conditioned regimes where refinement
+    # sweeps run deep, slower on shallow-converging solves.
     linsolve: str = "auto"
     # Relative c = h/alpha drift above which the cached Newton factor is
     # refactored (CVODE's dgmax analogue, and its 0.3 default; stale-c

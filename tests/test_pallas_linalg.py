@@ -64,8 +64,8 @@ def test_gj_inverse_rejects_wide():
 
 
 def test_resolve_linsolve():
-    # auto resolves per backend: "lu" on CPU, "inv" on accelerators
-    expected = "lu" if jax.default_backend() == "cpu" else "inv"
+    # auto resolves per backend: "lu" on CPU, "inv_gated" on accelerators
+    expected = "lu" if jax.default_backend() == "cpu" else "inv_gated"
     assert resolve_linsolve("auto", 49) == expected
     assert resolve_linsolve("lu", 49) == "lu"
     assert resolve_linsolve("inv", 49) == "inv"
