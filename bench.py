@@ -114,7 +114,10 @@ def build():
         tspan=(0.0, tf), u0={f"C{N_CARBONS}": 1.0},
         solve_chunks=True, solve_chunkstep=0.5,
         low_k_cutoff="none", abstol=ATOL, reltol=RTOL,
-        linsolve=os.environ.get("KINETICA_BENCH_LINSOLVE", "auto"))
+        linsolve=os.environ.get("KINETICA_BENCH_LINSOLVE", "auto"),
+        jac_policy=os.environ.get("KINETICA_BENCH_JAC_POLICY", "lazy"),
+        lu_drift_tol=float(os.environ.get("KINETICA_BENCH_LU_DRIFT",
+                                          "0.3")))
     return sd, rd, calc, conditions_list, pars
 
 
@@ -205,18 +208,32 @@ def device_phase(result_path, cpu_final_path, platform):
         log(f"steps/profile max={steps_max} median={steps_median}; "
             f"device {ms_per_step:.2f} ms/step (batch-synchronous)")
 
+    result = {
+        "sweep_dt": sweep_dt,
+        "per_profile": per_profile,
+        "max_molefrac_err": float(err),
+        "platform": jax.devices()[0].platform,
+        "steps_max": steps_max,
+        "steps_median": steps_median,
+        "ms_per_step": ms_per_step,
+        "crn": f"{rd.nr}rxn/{sd.n}sp",
+        "chunk_mode": problem.chunk_mode,
+    }
+
+    if os.environ.get("KINETICA_BENCH_SHARDED") == "1":
+        # opt-in (VERDICT r3 #3): lower the shard_map + Mosaic-Pallas
+        # program through the hardware compiler on a degenerate
+        # (batch=1, model=1) mesh and assert equality with the
+        # unsharded solve — pins that the model-sharded path compiles
+        # and runs on real TPU, not only on the CPU interpret mesh
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from bench_sharded_tpu import run as sharded_run
+        rec = sharded_run()
+        result["sharded_check"] = rec
+
     with open(result_path, "w") as fh:
-        json.dump({
-            "sweep_dt": sweep_dt,
-            "per_profile": per_profile,
-            "max_molefrac_err": float(err),
-            "platform": jax.devices()[0].platform,
-            "steps_max": steps_max,
-            "steps_median": steps_median,
-            "ms_per_step": ms_per_step,
-            "crn": f"{rd.nr}rxn/{sd.n}sp",
-            "chunk_mode": problem.chunk_mode,
-        }, fh)
+        json.dump(result, fh)
 
 
 def run_device_phase(cpu_final_path, platform):

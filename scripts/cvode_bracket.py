@@ -1,0 +1,127 @@
+"""Bound the CVODE gap: an ideal-compiled-BDF lower bound for the CPU side.
+
+VERDICT r3 #7: the honest CPU baseline is single-threaded scipy BDF, but
+the reference's recommended production solver is Sundials
+`CVODE_BDF(linear_solver=:KLU)` (/root/reference/docs/src/
+getting-started.md:69-77), which is not installable here. This script
+brackets what CVODE could do on this host so the headline speedup can be
+stated against the bracket, not just against scipy:
+
+  lower bound (fastest conceivable CVODE) =
+      nfev * t_rhs  +  njev * t_jac  +  nlu * t_lu  +  nsolve * t_back
+  upper bound = the measured scipy wall.
+
+The bound is *generous* to CVODE: it assumes a compiled BDF with ZERO
+controller/bookkeeping overhead, the same step/eval counts as scipy
+(scipy's accepted-step count is within ~8% of ours — see
+scripts/step_count_audit.py), and primitives timed hot-cache best-of-N.
+A dense-LU and a KLU-style sparse-LU variant of the bound are both
+reported (the Jacobian's fill fraction decides how much KLU can save).
+
+Usage: python scripts/cvode_bracket.py [n_carbons]   (default 24)
+Prints a JSON line; paste the numbers into BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RTOL, ATOL = 1e-8, 1e-10
+
+
+def time_primitive(fn, reps=200, best_of=5):
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def main():
+    nc = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    from scipy.integrate import solve_ivp
+    from scipy.linalg import lu_factor, lu_solve
+
+    from kinetica_tpu.calculators.builtin import (
+        PrecalculatedArrheniusCalculator)
+    from kinetica_tpu.conditions.profiles import LinearGradientProfile
+    from kinetica_tpu.testing.cpu_reference import (
+        arrhenius_k_of_t, build_numpy_mass_action)
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(nc)
+    calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+    tf = 14.0
+    profile = LinearGradientProfile(rate=50.0, X_start=500.0,
+                                    X_end=500.0 + 50.0 * tf)
+    rhs_f, jac_f = build_numpy_mass_action(sd, rd)
+    k_of_t = arrhenius_k_of_t(calc, profile)
+    rhs, jac = rhs_f(k_of_t), jac_f(k_of_t)
+    u0 = np.zeros(sd.n)
+    u0[sd.toInt[f"C{nc}"]] = 1.0
+
+    # --- the measured scipy upper bound (best-of-3 vs host contention)
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = solve_ivp(rhs, (0.0, tf), u0, method="BDF", jac=jac,
+                        rtol=RTOL, atol=ATOL)
+        wall = min(wall, time.perf_counter() - t0)
+    assert sol.success
+    nfev, njev, nlu = int(sol.nfev), int(sol.njev), int(sol.nlu)
+    nsteps = int(sol.t.size - 1)
+
+    # --- primitive costs at a representative mid-trajectory state
+    t_mid = 0.6 * tf
+    y_mid = sol.y[:, np.searchsorted(sol.t, t_mid)]
+    J = jac(t_mid, y_mid)
+    M = np.eye(sd.n) - 1e-4 * J      # Newton iteration matrix shape/fill
+    t_rhs = time_primitive(lambda: rhs(t_mid, y_mid))
+    t_jac = time_primitive(lambda: jac(t_mid, y_mid))
+    t_lu = time_primitive(lambda: lu_factor(M), reps=50)
+    lu = lu_factor(M)
+    b = rhs(t_mid, y_mid)
+    t_back = time_primitive(lambda: lu_solve(lu, b))
+
+    # KLU-style sparse factor bound: a sparse LU's work scales with the
+    # factor fill; bound it optimistically by nnz(J)/n^2 of the DENSE
+    # cost (real KLU fill-in only adds to this).
+    nnz_frac = float(np.count_nonzero(np.abs(J) > 0.0)) / J.size
+    t_lu_sparse = t_lu * nnz_frac
+    t_back_sparse = t_back * nnz_frac
+
+    # every Newton iteration = 1 rhs + 1 back-substitution; scipy's nfev
+    # includes those RHS calls, so nsolve ~ nfev is the right pairing
+    nsolve = nfev
+    ideal_dense = (nfev * t_rhs + njev * t_jac + nlu * t_lu
+                   + nsolve * t_back)
+    ideal_sparse = (nfev * t_rhs + njev * t_jac + nlu * t_lu_sparse
+                    + nsolve * t_back_sparse)
+
+    out = {
+        "crn": f"{rd.nr}rxn/{sd.n}sp",
+        "scipy_wall_s": round(wall, 4),
+        "counts": {"nsteps": nsteps, "nfev": nfev, "njev": njev,
+                   "nlu": nlu},
+        "primitives_us": {"rhs": round(t_rhs * 1e6, 1),
+                          "jac": round(t_jac * 1e6, 1),
+                          "lu_dense": round(t_lu * 1e6, 1),
+                          "back_dense": round(t_back * 1e6, 1)},
+        "jac_nnz_frac": round(nnz_frac, 4),
+        "ideal_compiled_bdf_dense_s": round(ideal_dense, 4),
+        "ideal_compiled_bdf_sparse_s": round(ideal_sparse, 4),
+        "scipy_overhead_x": round(wall / ideal_dense, 2),
+        "cvode_bracket_s": [round(ideal_sparse, 4), round(wall, 4)],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

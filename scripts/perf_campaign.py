@@ -61,6 +61,19 @@ CONFIGS = {
     "inv_gated": {"KINETICA_BENCH_LINSOLVE": "inv_gated"},
     "nc60_inv_gated": {"KINETICA_BENCH_NC": "60",
                        "KINETICA_BENCH_LINSOLVE": "inv_gated"},
+    # ---- round-4 ablation matrix over the tuning knobs (VERDICT r3
+    # weak #5): {linsolve x jac_policy x lu_drift_tol} at nc=24/nc=60.
+    # linsolve "auto" now IS inv_gated on accelerators, so "default"/
+    # "nc60" are the gated baselines for these.
+    "jac_always": {"KINETICA_BENCH_JAC_POLICY": "always"},
+    "drift_01": {"KINETICA_BENCH_LU_DRIFT": "0.1"},
+    "drift_06": {"KINETICA_BENCH_LU_DRIFT": "0.6"},
+    "nc60_jac_always": {"KINETICA_BENCH_NC": "60",
+                        "KINETICA_BENCH_JAC_POLICY": "always"},
+    "nc60_drift_01": {"KINETICA_BENCH_NC": "60",
+                      "KINETICA_BENCH_LU_DRIFT": "0.1"},
+    "nc60_drift_06": {"KINETICA_BENCH_NC": "60",
+                      "KINETICA_BENCH_LU_DRIFT": "0.6"},
 }
 QUICK = ["default", "scan_dispatch", "dd_chunk_256"]
 
