@@ -289,7 +289,7 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         the slowest lane of EACH chunk, executing sum_c(max_lane steps)
         iterations; measured on the production sweep that is 1.49x the
         async bound max_lane(sum_c steps) (scripts/attrib_sync_steps.py).
-        Requirements: ``prepare`` given, ``warm_start`` None, ``stops``
+        Requirements: ``prepare`` given, ``stops``
         2-D with shape (chunks, n_stops_row) in CHUNK-LOCAL time (an
         extra +inf guard column is appended internally so a full row can
         never leak into the next chunk's stops), and ``chunk_offsets`` a
@@ -324,10 +324,12 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
         return lambda t, y, t_start: fn(t, y)
 
     chunked = chunks is not None
-    if chunked and (prepare is None or chunk_offsets is None
-                    or warm_start is not None):
-        raise ValueError("chunks= mode requires prepare and chunk_offsets, "
-                         "and is incompatible with warm_start")
+    if chunked and (prepare is None or chunk_offsets is None):
+        raise ValueError("chunks= mode requires prepare and chunk_offsets")
+    # warm_start composes with chunks=: the carry initialises the FIRST
+    # chunk of this call's range exactly as it would a single segment
+    # (segmented-async mode — parallel/batching runs the horizon as a few
+    # async chunk ranges with host progress reporting between dispatches)
     if prepare is not None:
         # rhs/jac have signature (t, y, pre); thread pre through the
         # t_start slot of the internal convention. _prep takes the chunk

@@ -167,15 +167,14 @@ class EnsembleProblem:
                 chunk_mode = "scan"   # the shard_map program is scan-form
             elif jax.default_backend() == "cpu":
                 chunk_mode = "scan"
-            elif pars.progress:
-                # live progress needs dispatch granularity (the reference
-                # drives ProgressLogging bars through the solve loop,
-                # methods.jl:248-254) — async is a single opaque dispatch
-                chunk_mode = "group"
             else:
                 # accelerators: async beats group 123.5 -> 104.2
                 # ms/profile on the production sweep (less per-chunk
-                # slowest-lane synchronisation; scripts/attrib_production)
+                # slowest-lane synchronisation; scripts/attrib_production).
+                # With pars.progress the horizon runs as a few async
+                # chunk-range dispatches (warm method-state carry across
+                # them) with a progress line between each — live
+                # progress without group mode's per-chunk lane sync.
                 chunk_mode = "async"
         if model_shards and chunk_mode != "scan":
             raise ValueError("model-axis sharded solves support "
@@ -291,7 +290,8 @@ class EnsembleProblem:
         self._payload_axes = payload_axes
         self._stops_axes = stops_axes
 
-        member, member_chunk, member_group, member_async = \
+        (member, member_chunk, member_group, member_async,
+         member_async_seg) = \
             self._member_builders(self.rhs, self.jac, self.prepare)
 
         # tolerances are per-member (B,) vectors: the adaptive retry loop
@@ -316,6 +316,14 @@ class EnsembleProblem:
         self._solve_fn_async = jax.jit(
             jax.vmap(member_async, in_axes=(0, payload_axes, stops_axes,
                                             0, 0)))
+
+        # segmented async: chunk-range stops rows slice axis 0 (discrete,
+        # shared) or stay per-member (continuous); segment offsets shared
+        self._async_seg_fn = jax.jit(
+            jax.vmap(member_async_seg,
+                     in_axes=(0, 0, 0, payload_axes,
+                              None if stops_axes is None else 0,
+                              None, 0, 0)))
 
         self._mesh = mesh
         self._batch_multiple = 1
@@ -422,7 +430,37 @@ class EnsembleProblem:
                 chunks=n_chunks, chunk_offsets=chunk_offsets)
             return res.status, res.ys, res.n_steps
 
-        return member, member_chunk, member_group, member_async
+        def member_async_seg(u0, h0, warm0, payload, stops_rows_seg,
+                             seg_offsets, abstol, reltol):
+            """A contiguous chunk RANGE of the async whole-horizon loop.
+
+            Same independent per-lane chunk advance as ``member_async``
+            inside the range, but with the (h, BDF method state) carry at
+            entry and exit so the horizon can be split into a few
+            dispatches with host progress reporting between them — live
+            progress in async mode (the reference drives ProgressLogging
+            bars through its solve loop, methods.jl:248-254)."""
+            res = bdf.bdf_solve(
+                rhs, jac, u0, 0.0, chunkstep, saveat_j,
+                rtol=reltol, atol=abstol, stops=stops_rows_seg,
+                max_steps=int(pars_ref.maxiters),
+                nonnegative=pars_ref.ban_negatives,
+                nonnegative_project=pars_ref.project_negatives,
+                lu_precision=pars_ref.lu_precision,
+                linsolve=getattr(pars_ref, "linsolve", "auto"),
+                lu_drift_tol=getattr(pars_ref, "lu_drift_tol", 0.1),
+                jac_policy=getattr(pars_ref, "jac_policy", "lazy"),
+                first_step=h0, prepare=prepare,
+                warm_start=warm0 if use_warm else None,
+                args=payload,
+                chunks=seg_offsets.shape[0], chunk_offsets=seg_offsets)
+            warm_next = ((res.D, res.order, res.n_equal_steps) if use_warm
+                         else warm0)
+            return (res.y_final, res.h, warm_next, res.status, res.ys,
+                    res.n_steps)
+
+        return (member, member_chunk, member_group, member_async,
+                member_async_seg)
 
     @staticmethod
     def _warm0_batched(u0s_j):
@@ -589,7 +627,7 @@ class EnsembleProblem:
 
         def body(u0_l, payload_l, stops_l, at_l, rt_l, net_l, jnet_l, *car):
             rhs, jac, prepare = make_fns(net_l, jnet_l, *car)
-            member, _, _, _ = self._member_builders(rhs, jac, prepare)
+            member, _, _, _, _ = self._member_builders(rhs, jac, prepare)
             return jax.vmap(member,
                             in_axes=(0, payload_axes, stops_axes, 0, 0))(
                 u0_l, payload_l, stops_l, at_l, rt_l)
@@ -707,6 +745,35 @@ class EnsembleProblem:
                                 lo + 1, hi, self.n_chunks)
             statuses = np.asarray(worst)
             ys = jnp.concatenate(ys_groups, axis=1)
+        elif (self.chunk_mode == "async" and self.pars.progress
+              and not sharded):
+            # segmented async: a few whole-range async dispatches with a
+            # progress line between them; lanes advance independently
+            # WITHIN each range, so the per-chunk slowest-lane sync of
+            # group mode is paid only n_segments-1 times
+            cpd = resolve_chunks_per_dispatch(self.pars.chunks_per_dispatch,
+                                              self.n_chunks)
+            u = u0s_j
+            h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
+            warm = self._warm0_batched(u0s_j)
+            worst = None
+            ys_segs = []
+            for lo in range(0, self.n_chunks, cpd):
+                hi = min(lo + cpd, self.n_chunks)
+                rows = (stops_rows[lo:hi] if self.rate_mode == "discrete"
+                        else stops_rows[:, lo:hi])
+                seg_offsets = self._chunk_ids[lo:hi] * self.chunkstep
+                u, h, warm, status, ys_s, st_s = self._async_seg_fn(
+                    u, h, warm, payload, rows, seg_offsets,
+                    abstol_j, reltol_j)
+                ys_segs.append(ys_s)   # (B, hi-lo, m, ns)
+                steps = steps + st_s
+                worst = status if worst is None else jnp.minimum(worst,
+                                                                 status)
+                logger.info("   - chunks %d-%d/%d solved (async range)",
+                            lo + 1, hi, self.n_chunks)
+            statuses = np.asarray(worst)
+            ys = jnp.concatenate(ys_segs, axis=1)
         else:
             fn = (self._solve_fn_sharded if sharded
                   else self._solve_fn_async if self.chunk_mode == "async"

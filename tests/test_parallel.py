@@ -336,6 +336,48 @@ def test_async_chunk_mode_matches_scan(rate_mode):
     assert np.max(np.abs(results[0] - results[1])) < 1e-6 * scale
 
 
+@pytest.mark.parametrize("rate_mode", ["discrete", "continuous"])
+def test_async_progress_segments_match_async(rate_mode, caplog):
+    """progress=True in async mode runs the horizon as a few async
+    chunk-range dispatches with warm method-state carry (live progress
+    without group mode's per-chunk lane sync — VERDICT r3 missing #3).
+    Must agree with the single-dispatch async solve at rtol level and
+    actually emit progress lines."""
+    import logging
+
+    from kinetica_tpu.calculators.builtin import \
+        PrecalculatedArrheniusCalculator
+    from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
+
+    sd, rd, Ea, A = synthetic_pyrolysis_network(6)
+    kwargs = {"ts_update": 0.25} if rate_mode == "discrete" else {}
+    conds = [ConditionSet({"T": LinearGradientProfile(
+        rate=r, X_start=600.0, X_end=600.0 + r * 7.0)}, **kwargs)
+        for r in (40.0, 55.0)]
+    results = []
+    for progress in (False, True):
+        calc = PrecalculatedArrheniusCalculator(Ea, A, k_max=1e12)
+        pars = ODESimulationParams(tspan=(0.0, 7.0), u0={"C6": 1.0},
+                                   solve_chunks=True, solve_chunkstep=0.5,
+                                   low_k_cutoff="none", progress=progress,
+                                   chunks_per_dispatch=5)
+        prob = EnsembleProblem(VariableODESolve(pars, conds[0], calc),
+                               sd, rd, chunk_mode="async",
+                               rate_mode=rate_mode)
+        if progress:
+            with caplog.at_level(logging.INFO, logger="kinetica_tpu"):
+                ens = prob.solve(conditions_list=conds)
+            assert any("async range" in r.message for r in caplog.records)
+        else:
+            ens = prob.solve(conditions_list=conds)
+        assert ens.success
+        results.append(np.asarray(ens.u))
+    # same async machinery either way; segment boundaries only reset the
+    # chunk bookkeeping, the method state carries warm — rtol-level match
+    scale = np.max(np.abs(results[0]))
+    assert np.max(np.abs(results[0] - results[1])) < 1e-6 * scale
+
+
 class TestEnsembleAdaptiveRetry:
     """Per-member adaptive-tolerance recovery (solve_utils.jl:376-424)."""
 
