@@ -36,3 +36,29 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (docs/development/testing.md): every test is marked either
+# "quick" (smoke tier, `pytest -m quick` ~60 s total on CPU) or "slow"
+# (integration tier). Membership is measured, not guessed: tests whose
+# call time was >= 1.5 s in the tier-calibration run are listed in
+# tests/slow_tests.txt (regenerate with
+#   pytest -q --durations=0 | awk '$1+0>=1.5 && $2=="call" {print $3}').
+# New tests default to quick until re-calibrated.
+# ---------------------------------------------------------------------------
+_SLOW_LIST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_LIST) as fh:
+            slow = {line.strip() for line in fh if line.strip()}
+    except OSError:
+        slow = set()
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
