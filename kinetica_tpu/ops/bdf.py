@@ -484,6 +484,19 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                                  ).at[:ns, :ns].set(Jr)
 
     J0 = jac(t0, y0, pre0)
+    # Lane-compacted jac refresh (ops/gating.lane_compacted): under vmap
+    # the Newton-failure J rebuild is gathered to the needing lanes only;
+    # unbatched solves run fn directly (the custom_vmap primal). Width-
+    # gated: at one-tile scale the jac (matmul form) is cheap enough that
+    # the compaction's argsort/gather/scatter overhead loses (bench
+    # 31.2 -> 33.8 ms/profile at ns=73), while at multi-tile scale the
+    # ~7 ms/fire jac makes it win (199.1 -> 188.5 ms/profile at ns=181).
+    if ns >= 128:
+        from .gating import lane_compacted
+        jac_gated = lane_compacted(jac)
+    else:
+        def jac_gated(_need, t, y, pre):
+            return jac(t, y, pre)
     c0 = h_init / alpha_t[order0]
     fact0 = newton_factor(J0, c0.astype(dtype), lu_dtype, method=linsolve)
     lu0, piv0 = fact0.lu, fact0.piv
@@ -744,13 +757,21 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             # step on the *next* outer iteration instead of retrying
             # in-line (costs one extra outer iteration only when a lane
             # actually fails; CVODE structures its retry the same way).
-            # Same zero-trip gating (jac is ~0.26 ms at B=64, needed
-            # ~0.01x/step per lane).
+            # Zero-trip gating skips the whole batch when NO lane needs a
+            # refresh, and ``lane_compacted`` additionally compacts the
+            # evaluation to the needing lanes when the any-lane gate
+            # fires anyway (r3 trace: the gated jac fired ~0.4x/step
+            # COLLECTIVELY at 2.1 ms/fire although per-lane rates are
+            # ~0.01-0.26 — same any-lane economics as the factor path).
+            # Non-refresh lanes receive zeros/fill-in from the compaction
+            # and are discarded by the batched while_loop's per-lane
+            # carry select, which keeps their old J.
             refresh = (~converged) & (~s.current_jac)
 
             def jac_body(carry):
                 del carry
-                return jnp.asarray(False), jac(t_new, y_pred, pre)
+                return jnp.asarray(False), jac_gated(refresh, t_new,
+                                                     y_pred, pre)
 
             _, J = lax.while_loop(lambda cr: cr[0], jac_body,
                                   (refresh, s.J))

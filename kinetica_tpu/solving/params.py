@@ -71,10 +71,11 @@ class ODESimulationParams:
     lu_drift_tol: float = 0.3
     # Newton-matrix policy: "lazy" (default) caches J/LU and refreshes on
     # drift or Newton failure; "always" evaluates J and refactors at every
-    # step attempt. At large batch the lazy gates fire almost every
-    # iteration collectively anyway (any-lane probability ~1 at B=64), so
-    # "always" can trade ~zero extra cost for fewer stale-J retries —
-    # measure per workload.
+    # step attempt. Measured (r4 ablation, docs/design.md): "always"
+    # loses badly everywhere — 82 vs 31 ms/profile at nc=24, 923 vs 199
+    # at nc=60 — because the lane-compacted gated paths (inv_gated
+    # factor, compacted jac refresh) stripped the any-lane overhead that
+    # once made the lazy gates look ~free to bypass. Keep "lazy".
     jac_policy: str = "lazy"
     # Analytic-Jacobian contraction form: "segsum" (segment-sum over
     # (reaction, slot) pairs — no matmul, best for f64 Jacobians where
