@@ -30,6 +30,7 @@ profiles per chip) with per-element masking.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -491,7 +492,9 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
     # the compaction's argsort/gather/scatter overhead loses (bench
     # 31.2 -> 33.8 ms/profile at ns=73), while at multi-tile scale the
     # ~7 ms/fire jac makes it win (199.1 -> 188.5 ms/profile at ns=181).
-    if ns >= 128:
+    # KINETICA_JAC_GATE=on|off overrides the width heuristic for A/B.
+    _jg = os.environ.get("KINETICA_JAC_GATE", "auto")
+    if _jg == "on" or (_jg != "off" and ns >= 128):
         from .gating import lane_compacted
         jac_gated = lane_compacted(jac)
     else:
@@ -721,6 +724,13 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
             # ``lu_drift_tol`` trades refactor frequency against Newton
             # quality: too wide and the worst lane's step count grows
             # (batch-synchronous cost follows the max lane).
+            # (A per-lane threshold jitter was tried here to de-correlate
+            # batch refresh epochs — ~19% of nc=60 steps see >B/2 lanes
+            # drift together, forcing the compaction's full-batch
+            # fallback — but measured WORSE: +-15% jitter raised both
+            # steps (894 -> 994 max) and ms/step (13.5 -> 14.4) at nc=60
+            # because lowered-threshold lanes refresh more often without
+            # actually spreading the correlated epochs.)
             need_lu = jnp.abs(c - s.c_lu) > lu_drift_tol * jnp.abs(c)
 
             # GATING, not lax.cond: under vmap, cond lowers to select-
