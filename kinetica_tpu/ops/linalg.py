@@ -19,6 +19,7 @@ When the solve dtype is already f32 (or on CPU where f64 LU is native and
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -26,7 +27,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import lu_factor, lu_solve
 
-from .pallas_linalg import MAX_PALLAS_N, gj_inverse
+from .pallas_linalg import (LANE as MAX_PALLAS_LANE, MAX_PALLAS_N,
+                            gj_inverse, schur_inverse)
 
 
 class NewtonFactors(NamedTuple):
@@ -115,7 +117,17 @@ def _inv_factor_one(A):
     As, dr, dc = _equilibrate(A)
     # explicit inv on the CPU backend (debug/verification; "auto"
     # never picks it there) runs the kernel in interpret mode
-    minv32 = gj_inverse(As, interpret=jax.default_backend() == "cpu")
+    interpret = jax.default_backend() == "cpu"
+    ns = A.shape[-1]
+    if ns > MAX_PALLAS_LANE and os.environ.get(
+            "KINETICA_MULTITILE_INV", "schur") == "schur":
+        # past one lane tile the block-Schur composition (one-tile GJ
+        # diagonal blocks + MXU coupling matmuls) replaces the widened
+        # VPU kernel — measured 13.5 -> see design.md round-4 notes;
+        # KINETICA_MULTITILE_INV=wide restores the single-kernel path
+        minv32 = schur_inverse(As, interpret=interpret)
+    else:
+        minv32 = gj_inverse(As, interpret=interpret)
     minv32, _ = newton_schulz_refine(minv32, As)
     return dc[:, None] * minv32 * dr[None, :]
 

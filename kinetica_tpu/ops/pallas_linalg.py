@@ -215,6 +215,45 @@ def gj_inverse(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     return _gj_inverse_diff(A)
 
 
+def schur_inverse(A: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """f32 inverse for LANE < n <= MAX_PALLAS_N via recursive 2x2 block
+    elimination: one-tile Pallas Gauss-Jordan on the diagonal blocks +
+    MXU matmuls for the coupling terms.
+
+    The widened multi-tile GJ kernel does O(n^3) VPU mask arithmetic
+    over the full augmented block; splitting at the 128-lane tile turns
+    all the cross-tile work into HIGHEST-precision MXU matmuls (~100x
+    the VPU's flop rate), leaving only <=128-wide GJ eliminations on the
+    VPU. Pivoting is confined within diagonal blocks — equilibration
+    upstream plus the Newton-Schulz refinement downstream (which
+    verifies the factor against its own residual) cover the Newton-
+    preconditioner use case; this is NOT a general pivoted inverse.
+
+    With M = [[A11, A12], [A21, A22]], S = A22 - A21 A11^-1 A12:
+      M^-1 = [[A11^-1 - M12 T,  M12], [M21, S^-1]]
+      where T = A21 A11^-1, M12 = -(A11^-1 A12) S^-1, M21 = -S^-1 T.
+    Under vmap the block GJ vectorizes through gj_inverse's batch rule
+    and the matmuls batch natively.
+    """
+    n = A.shape[-1]
+    if n <= LANE:
+        return gj_inverse(A, interpret=interpret)
+    n1 = LANE * max(1, (n // 2) // LANE)
+    A11, A12 = A[..., :n1, :n1], A[..., :n1, n1:]
+    A21, A22 = A[..., n1:, :n1], A[..., n1:, n1:]
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    I11 = schur_inverse(A11, interpret=interpret)
+    T = mm(A21, I11)
+    S = A22 - mm(T, A12)
+    Sinv = schur_inverse(S, interpret=interpret)
+    M12 = -mm(mm(I11, A12), Sinv)
+    M21 = -mm(Sinv, T)
+    M11 = I11 - mm(M12, T)
+    top = jnp.concatenate([M11, M12], axis=-1)
+    bot = jnp.concatenate([M21, Sinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # Fused Newton solve: preconditioner matvec + f64-equivalent iterative
 # refinement + adaptive stopping in ONE Pallas launch.

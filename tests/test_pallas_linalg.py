@@ -381,3 +381,67 @@ class TestGatedFactor:
         l_lu, dl_lu = jax.jvp(lambda j: loss(j, "lu"), (J[0],), (dJ,))
         np.testing.assert_allclose(float(l_g), float(l_lu), rtol=1e-6)
         np.testing.assert_allclose(float(dl_g), float(dl_lu), rtol=1e-4)
+
+
+class TestSchurInverse:
+    """Recursive block-Schur multi-tile inverse (one-tile GJ + MXU
+    coupling matmuls) — the default multi-tile factor path."""
+
+    def test_residual_well_conditioned(self):
+        from kinetica_tpu.ops.pallas_linalg import schur_inverse
+        rng = np.random.default_rng(0)
+        for n in (181, 200, 300):
+            A = np.eye(n) + (0.5 / np.sqrt(n)) * rng.standard_normal((n, n))
+            M = np.asarray(schur_inverse(jnp.asarray(A, jnp.float32),
+                                         interpret=True))
+            resid = np.max(np.abs(M @ A - np.eye(n)))
+            assert resid < 5e-4, (n, resid)
+
+    def test_vmap_batches(self):
+        from kinetica_tpu.ops.pallas_linalg import schur_inverse
+        rng = np.random.default_rng(1)
+        n, B = 181, 6
+        A = np.eye(n) + (0.5 / np.sqrt(n)) * rng.standard_normal((B, n, n))
+        M = np.asarray(jax.vmap(
+            lambda a: schur_inverse(a, interpret=True))(
+                jnp.asarray(A, jnp.float32)))
+        for b in range(B):
+            resid = np.max(np.abs(M[b] @ A[b] - np.eye(n)))
+            assert resid < 5e-4, (b, resid)
+
+    def test_refinable_on_stiff_matrix(self):
+        """On an ill-conditioned mass-action-like matrix the Schur
+        factor must land inside the Newton-Schulz convergence basin
+        (||I - M A|| well below 1) — block pivoting is looser than the
+        wide kernel's global pivoting (measured ~1e-2 vs ~3e-4 here),
+        but the downstream quadratic refinement erases that gap in one
+        extra sweep; what matters is refinability, and that the refined
+        factor reaches the same class as the refined wide factor."""
+        from kinetica_tpu.ops.dd import newton_schulz_refine
+        from kinetica_tpu.ops.linalg import _equilibrate
+        from kinetica_tpu.ops.pallas_linalg import gj_inverse, schur_inverse
+        rng = np.random.default_rng(2)
+        n = 181
+        # badly scaled rows like c*k*u spans: 1 .. 1e9
+        J = rng.standard_normal((n, n)) * (10.0 ** rng.uniform(0, 9, (n, 1)))
+        M = np.eye(n) - 1e-3 * J
+        As, _, _ = _equilibrate(jnp.asarray(M))
+        As64 = np.asarray(As, np.float64)
+        r = {}
+        for name, fn in (("schur", schur_inverse), ("wide", gj_inverse)):
+            Minv = fn(jnp.asarray(As), interpret=True)
+            r[name] = np.max(np.abs(np.asarray(Minv, np.float64) @ As64
+                                    - np.eye(n)))
+        assert r["schur"] < 0.1, r
+        # solve-level contract: with per-solve iterative refinement (what
+        # newton_solve actually runs), the schur preconditioner reaches
+        # the same answer as a direct f64 solve
+        Minv = np.asarray(schur_inverse(jnp.asarray(As), interpret=True),
+                          np.float64)
+        b = rng.standard_normal(n)
+        x = Minv @ b
+        for _ in range(3):
+            x += Minv @ (b - As64 @ x)
+        ref = np.linalg.solve(As64, b)
+        np.testing.assert_allclose(x, ref, rtol=1e-8,
+                                   atol=1e-10 * np.abs(ref).max())
