@@ -329,12 +329,12 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
         n = A32.shape[-1]
 
         def cheap_cond(carry):
-            minv, it = carry
-            del minv
+            minv, rn, it = carry
+            del minv, rn
             return need & (it < 3)
 
         def cheap_body(carry):
-            minv, it = carry
+            minv, _, it = carry
             R = jnp.eye(n, dtype=jnp.float32) - jnp.matmul(
                 A32, minv, precision=lax.Precision.HIGHEST)
             rn = rnorm(R)
@@ -345,10 +345,31 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
             minv = jnp.where(
                 do, minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
                 minv)
-            return minv, jnp.where(do, it + 1, jnp.asarray(3, jnp.int32))
+            return (minv, rn,
+                    jnp.where(do, it + 1, jnp.asarray(3, jnp.int32)))
 
-        minv, _ = lax.while_loop(cheap_cond, cheap_body,
-                                 (minv, jnp.asarray(0, jnp.int32)))
+        minv, rn_cheap, _ = lax.while_loop(
+            cheap_cond, cheap_body,
+            (minv, jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+
+        if n > 128:
+            # Multi-tile phase-2 gate: the accurate residual dominates the
+            # multi-tile factor path (~14 ms/fire at n=181/B=64, ~30% of
+            # the whole step — profile_trace r4). The f32 measurement's
+            # floor is ~eps32*sqrt(n)*max|M|, so certify at
+            # tol_eff = clamp(4*floor, tol, 0.03) instead: factors whose
+            # cheap-phase residual measures below that are accepted
+            # without an accurate eval — a factor left at ~floor costs at
+            # most a couple of extra adaptive per-solve refinement sweeps
+            # downstream (matvecs), never correctness. The 0.03 cap keeps
+            # genuinely bad factors (saturated lanes, cond ~1e7, whose
+            # floor estimate explodes past any meaningful measurement) on
+            # the accurate path.
+            floor_est = (eps32 * jnp.sqrt(jnp.asarray(float(n), jnp.float32))
+                         * jnp.max(jnp.abs(minv)))
+            tol_eff = jnp.clip(4.0 * floor_est, tol, 0.03)
+            need = need & (rn_cheap > tol_eff)
 
     # Phase 2: accurate residual, with a PREDICTED-convergence exit: the
     # body always sweeps when rn > tol, and the loop stops once the
