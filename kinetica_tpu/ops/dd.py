@@ -353,10 +353,10 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
             (minv, jnp.asarray(jnp.inf, jnp.float32),
              jnp.asarray(0, jnp.int32)))
 
-        if n > 128:
-            # Multi-tile phase-2 gate: the accurate residual dominates the
-            # multi-tile factor path (~14 ms/fire at n=181/B=64, ~30% of
-            # the whole step — profile_trace r4). The f32 measurement's
+        if _os.environ.get("KINETICA_NS_PHASE2", "gated") == "gated":
+            # Phase-2 gate: the accurate residual dominates the factor
+            # path (~14 ms/fire at n=181/B=64, ~30% of the whole step;
+            # ~25-30% at n=73 — profile_trace r4). The f32 measurement's
             # floor is ~eps32*sqrt(n)*max|M|, so certify at
             # tol_eff = clamp(4*floor, tol, 0.03) instead: factors whose
             # cheap-phase residual measures below that are accepted
@@ -365,7 +365,9 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
             # downstream (matvecs), never correctness. The 0.03 cap keeps
             # genuinely bad factors (saturated lanes, cond ~1e7, whose
             # floor estimate explodes past any meaningful measurement) on
-            # the accurate path.
+            # the accurate path. Measured (accuracy-gated bench): nc=60
+            # 184.4 -> 159.9 ms/profile; KINETICA_NS_PHASE2=always
+            # restores the unconditional accurate phase.
             floor_est = (eps32 * jnp.sqrt(jnp.asarray(float(n), jnp.float32))
                          * jnp.max(jnp.abs(minv)))
             tol_eff = jnp.clip(4.0 * floor_est, tol, 0.03)
