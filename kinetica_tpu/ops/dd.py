@@ -370,7 +370,8 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
             # restores the unconditional accurate phase.
             floor_est = (eps32 * jnp.sqrt(jnp.asarray(float(n), jnp.float32))
                          * jnp.max(jnp.abs(minv)))
-            tol_eff = jnp.clip(4.0 * floor_est, tol, 0.03)
+            cap = float(_os.environ.get("KINETICA_NS_CAP", "0.03"))
+            tol_eff = jnp.clip(4.0 * floor_est, tol, cap)
             need = need & (rn_cheap > tol_eff)
 
     # Phase 2: accurate residual, with a PREDICTED-convergence exit: the
