@@ -69,8 +69,66 @@ def _sampled_fluxes(out, calc, n_samples):
 
     stride = max(1, t.size // n_samples)
     idx = np.arange(0, t.size, stride)
-    u_aug = np.concatenate([np.maximum(u[idx], 0.0),
-                            np.ones((idx.size, 1))], axis=1)
+    u_s = np.maximum(u[idx], 0.0)
+
+    # QSS reconstruction for sub-tolerance intermediates: a stored
+    # trajectory resolves concentrations only down to ~abstol, and the
+    # accept-path nonnegativity projection clamps quasi-steady radicals
+    # to EXACTLY zero at many save points (measured: ~30% of entries on
+    # TPU vs ~3% on CPU for the toy cracking CRN — sub-tolerance noise
+    # differs by backend). Fluxes through those species then vanish
+    # from the sampled graph, couplings die, and the selected mechanism
+    # becomes backend-dependent and badly under-kept (r4: DRGEP stuck
+    # at 0.52 target error at EVERY eps on TPU while CPU passed).
+    # For each sampled time, species below ``floor`` get the standard
+    # QSS estimate u_A = P_A / lambda_A: gross production over the
+    # first-order consumption-rate coefficient (reactions consuming two
+    # A are ~u_A^2 and excluded from lambda). One reconstruction pass —
+    # the estimate feeds only the reduction GRAPH, never the solution;
+    # every reduced mechanism is still validated by full re-solves.
+    ns = N.shape[1]
+    nr, arity = slots.shape
+    floor = 10.0 * float(getattr(out.pars, "abstol", 1e-10) or 1e-10)
+    consumed = np.zeros((nr, ns))
+    for j in range(rd.nr):
+        for sid, st in zip(rd.id_reacs[j], rd.stoic_reacs[j]):
+            consumed[j, sid] = st
+    prod_pos = np.maximum(N, 0.0)                     # (nr, ns)
+    for i in range(u_s.shape[0]):
+      # chained intermediates (radical B produced only through radical
+      # A) need the reconstruction to propagate: iterate to fixed point
+      for _pass in range(4):
+        ui = u_s[i]
+        low = ui < floor
+        if not low.any():
+            break
+        u_aug_i = np.append(ui, 1.0)
+        w_i = k_t[idx[i]] * u_aug_i[slots].prod(axis=1)       # (nr,)
+        P_A = w_i @ prod_pos                                   # (ns,)
+        # lambda_A: sum over first-order-in-A consuming reactions of
+        # k_j * product of the OTHER slot concentrations
+        lam = np.zeros(ns)
+        for sid in np.flatnonzero(low):
+            first_order = consumed[:, sid] == 1
+            if not first_order.any():
+                continue
+            js = np.flatnonzero(first_order)
+            others = np.ones(js.size)
+            for s in range(arity):
+                col = slots[js, s]
+                mask_self = col == sid
+                # divide out exactly one occurrence of A
+                vals = u_aug_i[col]
+                vals = np.where(mask_self, 1.0, vals)
+                # only the FIRST self slot is divided out; with
+                # first-order reactions there is exactly one
+                others = others * vals
+            lam[sid] = np.sum(k_t[idx[i], js] * others)
+        with np.errstate(over="ignore", invalid="ignore"):
+            qss = np.where(lam > 0.0, P_A / np.maximum(lam, 1e-300), 0.0)
+        u_s[i] = np.where(low & (qss > ui), np.minimum(qss, floor), ui)
+
+    u_aug = np.concatenate([u_s, np.ones((idx.size, 1))], axis=1)
     rates = k_t[idx] * u_aug[:, slots].prod(axis=2)   # (nt', nr)
     return N, P, rates
 

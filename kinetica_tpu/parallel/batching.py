@@ -778,6 +778,23 @@ class EnsembleProblem:
             fn = (self._solve_fn_sharded if sharded
                   else self._solve_fn_async if self.chunk_mode == "async"
                   else self._solve_fn)
+            if (fn is self._solve_fn_async and self.rate_mode == "discrete"
+                    and B > 128):
+                # Worker-fault guard (r4): the async whole-horizon
+                # program with DISCRETE k tables kernel-faults the
+                # remote TPU worker at large batch (reproduced at B=436
+                # across linsolve and rhs_contraction variants, and at
+                # B=256 in a long-lived process after other programs;
+                # a fresh-process B=256 probe passed, so the boundary
+                # is state-dependent — guard conservatively at 128.
+                # CONTINUOUS async is clean to B=1024). Large discrete
+                # ensembles — the global-screening designs
+                # (Morris/Sobol) build exactly these — take the scan
+                # program instead until the Mosaic fault is isolated.
+                logger.info("   - discrete ensemble B=%d > 128: using the "
+                            "scan chunk program (async-mode worker-fault "
+                            "guard)", B)
+                fn = self._solve_fn
             statuses, ys, steps = fn(
                 u0s_j, payload, stops_rows, abstol_j, reltol_j)
             statuses = np.asarray(statuses)
