@@ -164,7 +164,10 @@ def _embed_3d_lite(mol: Molecule, seed: int = 10, n_steps: int = 400) -> Frame:
     # VSEPR 1-3 rest distances: steric number = neighbours + lone pairs
     # picks the ideal angle; law of cosines gives the neighbour-pair
     # separation each angle spring targets.
-    angle_d0 = {}
+    # In small rings two different centres can produce the same 1-3 pair
+    # with different rest distances — accumulate and average instead of
+    # letting the last writer win (r4 advisor finding).
+    angle_d0_acc: dict[tuple[int, int], list[float]] = {}
     for c in range(n):
         nb = mol.neighbors(c)
         if len(nb) < 2:
@@ -179,7 +182,9 @@ def _embed_3d_lite(mol: Molecule, seed: int = 10, n_steps: int = 400) -> Frame:
                 ra, rb = blen(c, a), blen(c, b)
                 d0 = np.sqrt(ra * ra + rb * rb
                              - 2.0 * ra * rb * np.cos(theta))
-                angle_d0[(min(a, b), max(a, b))] = d0
+                angle_d0_acc.setdefault((min(a, b), max(a, b)),
+                                        []).append(d0)
+    angle_d0 = {p: float(np.mean(v)) for p, v in angle_d0_acc.items()}
 
     # pi-system planarity: atoms of a double bond between two SN-3
     # centres plus all their neighbours are restrained to a common

@@ -10,8 +10,10 @@ The real RDKit/OpenBabel are used instead when installed (see
 pipeline functional without them.
 
 Covers the organic range (H/C/N/O plus halogens, S, P, noble gases).
-Aromatic SMILES input is accepted but kekulised naively; canonical output
-is always kekulised.
+Aromatic SMILES input is accepted and kekulised on parse; canonical
+output emits aromatic (lowercase) SMILES for detected Hückel pi systems
+(benzene -> c1ccccc1) and kekulised bonds otherwise, so every Kekulé
+form of the same molecule canonicalises identically.
 """
 from __future__ import annotations
 
@@ -234,6 +236,20 @@ def aromatic_system(mol: Molecule) -> set[int]:
             continue
         if len(comp) % 2 == 0 and (len(comp) - 2) % 4 == 0:
             out |= comp
+            continue
+        # Linked/fused systems whose TOTAL atom count is 4n (biphenyl 12,
+        # pyrene 16) fail the whole-component count even though every
+        # ring is aromatic — decompose into SSSR-style rings and apply
+        # the Hückel count per ring instead (r4 advisor finding).
+        csub = sub.subgraph(comp)
+        try:
+            rings = nx.minimum_cycle_basis(csub)
+        except Exception:
+            continue
+        for ring in rings:
+            m = len(ring)
+            if m % 2 == 0 and (m - 2) % 4 == 0:
+                out |= set(ring)
     return out
 
 

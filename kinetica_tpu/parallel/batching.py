@@ -702,7 +702,27 @@ class EnsembleProblem:
         routes through the shard_map (model-axis) program.
         """
         steps = jnp.zeros((B,), jnp.int32)
-        if self.chunk_mode == "host":
+        mode = self.chunk_mode
+        if (mode == "async" and not sharded
+                and self.rate_mode == "discrete" and B > 128):
+            # Worker-fault guard (r4): the async whole-horizon program
+            # with DISCRETE k tables kernel-faults the remote TPU worker
+            # at large batch (reproduced at B=436 across linsolve and
+            # rhs_contraction variants, and at B=256 in a long-lived
+            # process after other programs; a fresh-process B=256 probe
+            # passed, so the boundary is state-dependent — guard
+            # conservatively at 128. CONTINUOUS async is clean to
+            # B=1024). Applies to BOTH the segmented-async (progress)
+            # and whole-horizon async branches: the segmented branch
+            # dispatches the same async chunk program. Large discrete
+            # ensembles — the global-screening designs (Morris/Sobol)
+            # build exactly these — take the group (progress) or scan
+            # program instead until the Mosaic fault is isolated.
+            mode = "group" if self.pars.progress else "scan"
+            logger.info("   - discrete ensemble B=%d > 128: using the "
+                        "%s chunk program (async-mode worker-fault "
+                        "guard)", B, mode)
+        if mode == "host":
             u = u0s_j
             h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
             warm = self._warm0_batched(u0s_j)
@@ -722,7 +742,7 @@ class EnsembleProblem:
                                 nc + 1, self.n_chunks)
             statuses = np.asarray(worst)
             ys = jnp.stack(ys_chunks, axis=1)  # (B, n_chunks, m, ns)
-        elif self.chunk_mode == "group":
+        elif mode == "group":
             cpd = resolve_chunks_per_dispatch(self.pars.chunks_per_dispatch,
                                               self.n_chunks)
             u = u0s_j
@@ -745,7 +765,7 @@ class EnsembleProblem:
                                 lo + 1, hi, self.n_chunks)
             statuses = np.asarray(worst)
             ys = jnp.concatenate(ys_groups, axis=1)
-        elif (self.chunk_mode == "async" and self.pars.progress
+        elif (mode == "async" and self.pars.progress
               and not sharded):
             # segmented async: a few whole-range async dispatches with a
             # progress line between them; lanes advance independently
@@ -776,25 +796,8 @@ class EnsembleProblem:
             ys = jnp.concatenate(ys_segs, axis=1)
         else:
             fn = (self._solve_fn_sharded if sharded
-                  else self._solve_fn_async if self.chunk_mode == "async"
+                  else self._solve_fn_async if mode == "async"
                   else self._solve_fn)
-            if (fn is self._solve_fn_async and self.rate_mode == "discrete"
-                    and B > 128):
-                # Worker-fault guard (r4): the async whole-horizon
-                # program with DISCRETE k tables kernel-faults the
-                # remote TPU worker at large batch (reproduced at B=436
-                # across linsolve and rhs_contraction variants, and at
-                # B=256 in a long-lived process after other programs;
-                # a fresh-process B=256 probe passed, so the boundary
-                # is state-dependent — guard conservatively at 128.
-                # CONTINUOUS async is clean to B=1024). Large discrete
-                # ensembles — the global-screening designs
-                # (Morris/Sobol) build exactly these — take the scan
-                # program instead until the Mosaic fault is isolated.
-                logger.info("   - discrete ensemble B=%d > 128: using the "
-                            "scan chunk program (async-mode worker-fault "
-                            "guard)", B)
-                fn = self._solve_fn
             statuses, ys, steps = fn(
                 u0s_j, payload, stops_rows, abstol_j, reltol_j)
             statuses = np.asarray(statuses)
