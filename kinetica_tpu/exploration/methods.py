@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import random
+import time
 from dataclasses import dataclass, field
 
 from ..chem.conversion import frame_from_smiles
@@ -78,6 +79,13 @@ class IterativeExplore(AbstractExploreMethod):
     # levels even if seeds have not converged — bounds wall-clock on
     # open-ended chemistries. None = run to seed convergence.
     max_levels: int | None = None
+    # Optional phase-timing collector (BASELINE config 5 benching): when
+    # a list is supplied, one dict per level is appended with the wall
+    # time of each phase — sampling/ingest ("explore_s"), the batched
+    # device solve gate ("solve_s"), seed selection ("seeds_s") — plus
+    # network size, so the host<->device interleave cost of the product
+    # loop (methods.jl:150-266, solve gate at :221) is measurable.
+    timings: list | None = None
 
 
 def _mark_converged(loc: ExploreLoc) -> None:
@@ -267,6 +275,7 @@ def _explore_iterative(exploremethod: IterativeExplore,
         logger.info("##########################")
         flush_log()
 
+        t_level0 = time.perf_counter()
         setup_level(loc, sd, current_seeds)
         n_seeds = len(current_seeds)
         n_subspaces = 1 if n_seeds == 1 else n_seeds + 1
@@ -289,6 +298,7 @@ def _explore_iterative(exploremethod: IterativeExplore,
         logger.info("Exploration complete, running kinetic simulation of "
                     "current network.")
         flush_log()
+        t_solve0 = time.perf_counter()
         conds_list = exploremethod.solve_conditions_list
         if conds_list:
             # batched condition-sweep gate (one vmapped device program)
@@ -319,6 +329,7 @@ def _explore_iterative(exploremethod: IterativeExplore,
                     f"Kinetic simulation of level {loc.level} network ended "
                     f"with retcode {res.sol.retcode!r}; refusing to select "
                     "next-level seeds from a failed solve.")
+        t_solve1 = time.perf_counter()
         _save_checkpoint(res, savedir, f"level_network_1-{loc.level}.npz")
 
         explored_seeds += [s for s in current_seeds if s not in explored_seeds]
@@ -332,6 +343,17 @@ def _explore_iterative(exploremethod: IterativeExplore,
             next_seeds = identify_next_seeds(
                 gate_sol, res.sd, exploremethod.seed_conc,
                 ignore=exploremethod.inert_species, saveto=seeds_out)
+
+        if exploremethod.timings is not None:
+            t_end = time.perf_counter()
+            exploremethod.timings.append({
+                "level": loc.level,
+                "explore_s": round(t_solve0 - t_level0, 4),
+                "solve_s": round(t_solve1 - t_solve0, 4),
+                "seeds_s": round(t_end - t_solve1, 4),
+                "n_species": sd.n, "n_reactions": rd.nr,
+                "batch": (len(conds_list) if conds_list else 1),
+                "n_seeds_next": len(next_seeds)})
 
         if (exploremethod.max_levels is not None
                 and loc.level >= exploremethod.max_levels):

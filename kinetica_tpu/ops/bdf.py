@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from .linalg import (NewtonFactors, newton_factor, newton_solve,
+                     warm_factor_refresh,
                      resolve_linsolve)
 
 MAX_ORDER = 5
@@ -51,6 +52,15 @@ _DEBUG_DUMP = False   # with _DEBUG_TRACE: also dump Newton system inputs
 # dynamic_update_slice per attempt.
 _TRACE_STEPS = 0
 _NOISE_ACCEPT = 0.03  # scaled-units Newton noise-floor acceptance threshold
+# Warm factor refresh (KINETICA_WARM_FACTOR=on enables): c-drift-only
+# refactors reuse the previous inverse via Newton-Schulz matmul sweeps
+# instead of a full Gauss-Jordan rebuild (ops/linalg.warm_factor_refresh).
+# Measured OFF-by-default (r5, v5e, in-process A/B): flagship 1.739 ->
+# 1.879 ms/step, nc=60 11.6 -> 13.0 — the Gauss-Jordan it skips is the
+# SMALLER part of the compacted build (r5 trace: NS refine + phase-2
+# residuals dominate), while the warm sweeps run uncompacted on the
+# full batch at HIGHEST-precision matmul cost every refactor fire.
+_WARM_FACTOR = os.environ.get("KINETICA_WARM_FACTOR", "off") == "on"
 NEWTON_MAXITER = 4
 MIN_FACTOR = 0.2
 MAX_FACTOR = 10.0
@@ -751,6 +761,21 @@ def bdf_solve(rhs: Callable, jac: Callable, y0: jnp.ndarray,
                 # inverses into up to bucket-minus-count fill lanes) and
                 # MUST be masked by the caller — here the while_loop's
                 # per-lane carry masking discards them.
+                if linsolve == "inv_gated" and _WARM_FACTOR:
+                    # Warm refresh first: most refactors are c-drift-only,
+                    # where the old inverse is within lu_drift_tol of the
+                    # new one and 3 Newton-Schulz matmul sweeps replace
+                    # the whole equilibrate+Gauss-Jordan+refine build
+                    # (ops/linalg.warm_factor_refresh). Only lanes whose
+                    # warm residual stays above tolerance (fresh J, or
+                    # saturated conditioning) take the compacted full
+                    # build.
+                    M_warm, need_full = warm_factor_refresh(
+                        s.J, c_state, s.lu, need_lu)
+                    f = newton_factor(s.J, c_state, lu_dtype,
+                                      method=linsolve, need=need_full)
+                    lu_new = jnp.where(need_full, f.lu, M_warm)
+                    return jnp.asarray(False), lu_new, f.piv
                 f = newton_factor(s.J, c_state, lu_dtype, method=linsolve,
                                   need=need_lu)
                 return jnp.asarray(False), f.lu, f.piv

@@ -328,30 +328,56 @@ def newton_schulz_refine(minv, A32, tol=3e-4, proxy_tol=1e-3,
     if choice == "f64dot":
         n = A32.shape[-1]
 
-        def cheap_cond(carry):
-            minv, rn, it = carry
-            del minv, rn
-            return need & (it < 3)
+        # Phase-1 schedule (KINETICA_NS_PHASE1 = auto | unroll:N |
+        # adaptive): measured r5 (v5e, in-process A/B) — unroll:2
+        # under-refines (nc=60 steps 892 -> 936, flagship 1.739 -> 1.798
+        # ms/step) and unroll:3 is EXACTLY equal to adaptive in both
+        # steps and ms/step (161.9 ms/profile both), i.e. unlike the
+        # per-solve refinement chain (ops/linalg.newton_solve) this
+        # loop's overhead is not measurable — so "auto" keeps the
+        # adaptive while_loop; the unrolled form stays selectable.
+        p1 = _os.environ.get("KINETICA_NS_PHASE1", "auto")
+        if p1 == "auto":
+            p1 = "adaptive"
+        if p1.startswith("unroll"):
+            n_p1 = int(p1.split(":")[1]) if ":" in p1 else 2
+            rn_cheap = jnp.asarray(jnp.inf, jnp.float32)
+            for _ in range(n_p1):
+                R = jnp.eye(n, dtype=jnp.float32) - jnp.matmul(
+                    A32, minv, precision=lax.Precision.HIGHEST)
+                rn_cheap = rnorm(R)
+                do = need & (rn_cheap > tol)
+                minv = jnp.where(
+                    do,
+                    minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
+                    minv)
+        else:
+            def cheap_cond(carry):
+                minv, rn, it = carry
+                del minv, rn
+                return need & (it < 3)
 
-        def cheap_body(carry):
-            minv, _, it = carry
-            R = jnp.eye(n, dtype=jnp.float32) - jnp.matmul(
-                A32, minv, precision=lax.Precision.HIGHEST)
-            rn = rnorm(R)
-            # sweep while the (noise-floored) measurement still exceeds
-            # tol; at the floor the noisy direction neither helps nor
-            # hurts (true rn ~ max(rn^2, floor)), so cap at 3 sweeps
-            do = rn > tol
-            minv = jnp.where(
-                do, minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
-                minv)
-            return (minv, rn,
-                    jnp.where(do, it + 1, jnp.asarray(3, jnp.int32)))
+            def cheap_body(carry):
+                minv, _, it = carry
+                R = jnp.eye(n, dtype=jnp.float32) - jnp.matmul(
+                    A32, minv, precision=lax.Precision.HIGHEST)
+                rn = rnorm(R)
+                # sweep while the (noise-floored) measurement still
+                # exceeds tol; at the floor the noisy direction neither
+                # helps nor hurts (true rn ~ max(rn^2, floor)), so cap
+                # at 3 sweeps
+                do = rn > tol
+                minv = jnp.where(
+                    do,
+                    minv + jnp.dot(minv, R, precision=lax.Precision.HIGHEST),
+                    minv)
+                return (minv, rn,
+                        jnp.where(do, it + 1, jnp.asarray(3, jnp.int32)))
 
-        minv, rn_cheap, _ = lax.while_loop(
-            cheap_cond, cheap_body,
-            (minv, jnp.asarray(jnp.inf, jnp.float32),
-             jnp.asarray(0, jnp.int32)))
+            minv, rn_cheap, _ = lax.while_loop(
+                cheap_cond, cheap_body,
+                (minv, jnp.asarray(jnp.inf, jnp.float32),
+                 jnp.asarray(0, jnp.int32)))
 
         if _os.environ.get("KINETICA_NS_PHASE2", "gated") == "gated":
             # Phase-2 gate: the accurate residual dominates the factor

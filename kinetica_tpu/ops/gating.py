@@ -86,6 +86,16 @@ def _make_gated(fn):
         in_axes = treedef.unflatten([0 if b else None for b in flat_b])
         full = jax.vmap(fn, in_axes=in_axes)
         B = axis_size
+        if not any(flat_b):
+            # Only ``need`` carries the batch axis (e.g. a vmapped
+            # forward-sensitivity solve whose primal state — and hence
+            # jac inputs — is identical across tangent lanes): every
+            # lane shares the same args, so evaluate once unbatched and
+            # let vmap broadcast the result. jax.vmap with all-None
+            # in_axes is invalid, so this case cannot go through
+            # ``full``.
+            out = fn(*args)
+            return out, jax.tree.map(lambda _: False, out)
         if (not need_b) or B < 16:
             out = full(*args)
             return out, jax.tree.map(lambda _: True, out)

@@ -207,6 +207,40 @@ def _inv_factor_jvp(primals, tangents):
     return M, dM
 
 
+def warm_factor_refresh(J: jnp.ndarray, c, M_prev: jnp.ndarray, need,
+                        tol: float = 3e-4, sweeps: int = 3):
+    """Refresh an explicit-inverse Newton factor by Newton-Schulz sweeps
+    from the PREVIOUS inverse instead of a full rebuild.
+
+    A c-drift refactor (the dominant refresh trigger, ~0.2/lane-step)
+    changes the Newton matrix only by A_new = (c_new/c_old) A_old +
+    (1 - c_new/c_old) I, so the old inverse starts within ~lu_drift_tol
+    (0.3) of A_new^-1 — quadratic NS contraction reaches the factor
+    tolerance (3e-4) in ~3 sweeps of plain HIGHEST-precision MXU
+    matmuls, skipping the equilibrate + Pallas Gauss-Jordan + refine
+    chain entirely. Works unscaled: the stored factor has its
+    equilibration scales folded in, and R = I - A M is scale-free.
+
+    Returns ``(M_warm, need_full)``: the swept factor and the lanes
+    whose residual is still above ``tol`` (J refreshes, saturated
+    conditioning, divergent sweeps — NaN/inf residuals count as
+    failures) which must take the full build. Lanes with ``need`` False
+    produce garbage and MUST be discarded by the caller.
+    """
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    A = _newton_matrix(J, c).astype(f32)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=f32)
+    M = M_prev.astype(f32)
+    for _ in range(sweeps):
+        R = eye - jnp.matmul(A, M, precision=hi)
+        M = M + jnp.matmul(M, R, precision=hi)
+    rn = jnp.max(jnp.abs(eye - jnp.matmul(A, M, precision=hi)))
+    ok = jnp.isfinite(rn) & (rn <= tol)
+    return M, jnp.asarray(need, bool) & ~ok
+
+
 def newton_factor(J: jnp.ndarray, c, lu_dtype=jnp.float32,
                   method: str = "lu", need=None) -> NewtonFactors:
     """Factor A = I - c J at ``lu_dtype`` precision (equilibrated).
@@ -304,6 +338,34 @@ def newton_solve(f: NewtonFactors, b: jnp.ndarray, refine: int = 1,
         r = b - (dy - c * Jdy)
         corr = solve32(r)
         return dy + corr, corr
+
+    # KINETICA_REFINE: "unroll:N" runs exactly N sweeps with no norms or
+    # loop machinery; "adaptive" runs the residual-adaptive while_loop
+    # below; "auto" (default) picks unroll:2 on accelerators for the
+    # explicit-inverse paths and adaptive otherwise. Rationale: under
+    # vmap the adaptive loop runs while ANY lane's correction is big
+    # (B=64 -> nearly always the max trip count), so its norms +
+    # closed-call boundaries are pure overhead — the r4 trace
+    # attribution measured ~35 small kernels (~0.45 ms) per solve at
+    # multi-tile width, ~19-35% of the nc=60 window. A fixed unrolled
+    # schedule is the same arithmetic XLA can fuse straight-line:
+    # measured (r5, v5e, flagship 1095rxn/73sp B=64) 1.918 -> 1.739
+    # ms/step with identical accuracy and slightly FEWER steps (two
+    # unconditional sweeps solve more accurately than the 1e-4-relative
+    # adaptive exit); unroll:1 under-solves (1.852, more steps) and
+    # unroll:3 buys nothing (1.786). A straight-line solve is also
+    # reverse-differentiable, which the while_loop was not.
+    _refine_mode = os.environ.get("KINETICA_REFINE", "auto")
+    if _refine_mode == "auto":
+        _refine_mode = ("unroll:2"
+                        if (method in ("inv", "inv_gated")
+                            and jax.default_backend() != "cpu")
+                        else "adaptive")
+    if _refine_mode.startswith("unroll"):
+        n_sw = int(_refine_mode.split(":")[1]) if ":" in _refine_mode else 2
+        for _ in range(max(n_sw, 1)):
+            dy, _ = sweep(dy)
+        return dy
 
     for _ in range(max(refine, 1)):
         dy, corr = sweep(dy)

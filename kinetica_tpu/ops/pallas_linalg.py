@@ -139,7 +139,13 @@ def _gj_batch_kernel(n: int, wa: int, a_ref, inv_ref, aug_ref):
 def _gj_call(Ab: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     """Batched Gauss-Jordan: (B, n, n) -> (B, n, n) f32 inverses.
 
-    Chunks the batch so each grid-less launch fits VMEM.
+    Batches beyond the VMEM member budget run as a GRID over batch
+    chunks inside ONE pallas_call: Mosaic pipelines the per-chunk
+    input/output DMAs against the elimination compute, where the old
+    ``lax.map`` formulation serialised one full launch per chunk
+    (measured as the B=512 "factor cliff": 39.9 ms/step ungated vs
+    23.2 gated — BASELINE.md round-4 late II — and 8 serial launches
+    per factor at multi-tile width even at B=64).
     """
     B, n = Ab.shape[0], Ab.shape[-1]
     if n > MAX_PALLAS_N:
@@ -147,27 +153,32 @@ def _gj_call(Ab: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     wa = _pad_up(max(n, LANE), LANE)
     n_pad = _pad_up(max(n, SUBLANE), SUBLANE)
     bmax = _max_batch(n_pad, wa)
-    if B > bmax:
-        nchunk = -(-B // bmax)
-        Bp = nchunk * bmax
-        Apad = jnp.zeros((Bp, n, n), jnp.float32)
-        Apad = Apad.at[:B].set(Ab.astype(jnp.float32))
-        Apad = Apad.at[B:, :, :].add(jnp.eye(n, dtype=jnp.float32))
-        chunks = Apad.reshape(nchunk, bmax, n, n)
-        out = lax.map(lambda a: _gj_call(a, interpret), chunks)
-        return out.reshape(Bp, n, n)[:B]
-
-    Ap = jnp.zeros((B, n_pad, wa), jnp.float32)
-    Ap = Ap.at[:, :n, :n].set(Ab.astype(jnp.float32))
-    inv = pl.pallas_call(
-        functools.partial(_gj_batch_kernel, n, wa),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, wa), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, n_pad, 2 * wa), jnp.float32)],
-        interpret=interpret,
-    )(Ap)
-    return inv[:, :n, :n]
+    bchunk = min(B, bmax)
+    nchunk = -(-B // bchunk)
+    Bp = nchunk * bchunk
+    Ap = jnp.zeros((Bp, n_pad, wa), jnp.float32)
+    Ap = Ap.at[:B, :n, :n].set(Ab.astype(jnp.float32))
+    if Bp != B:
+        # pad members with the identity so the elimination stays regular
+        Ap = Ap.at[B:, :n, :n].add(jnp.eye(n, dtype=jnp.float32))
+    # Gridded pallas_call lowering captures i64 grid indices under x64
+    # and Mosaic fails to legalize ('func.return'); everything here is
+    # f32, so trace the call with x64 scoped off (safe mid-trace: no
+    # x64 value crosses the boundary).
+    with jax.enable_x64(False):
+        inv = pl.pallas_call(
+            functools.partial(_gj_batch_kernel, n, wa),
+            grid=(nchunk,),
+            out_shape=jax.ShapeDtypeStruct((Bp, n_pad, wa), jnp.float32),
+            in_specs=[pl.BlockSpec((bchunk, n_pad, wa), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((bchunk, n_pad, wa), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bchunk, n_pad, 2 * wa),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(Ap)
+    return inv[:B, :n, :n]
 
 
 @jax.custom_batching.custom_vmap

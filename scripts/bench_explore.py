@@ -1,0 +1,116 @@
+"""BASELINE config 5: kinetics-in-the-loop iterative exploration gated by
+batched TPU solves, measured end-to-end on hardware.
+
+The reference's flagship product loop
+(/root/reference/src/exploration/methods.jl:150-266) alternates
+stochastic mechanism sampling with a kinetic solve of the
+network-so-far (solve_network call at methods.jl:221) and gates the
+next exploration level on the solution. Here the sampler is the
+first-party native cde_lite binary, the per-level gate is ONE vmapped
+batched device solve over a condition sweep, and seed selection is an
+on-device max over the solution tensor.
+
+Measures, per level: sampling/ingest host wall ("explore_s"), batched
+device solve wall ("solve_s"), checkpoint+seed-selection wall
+("seeds_s"); plus total end-to-end wall. The host<->device interleave
+overhead of the product loop is total - sum(phases).
+
+Usage: python scripts/bench_explore.py [B]   (default B=64 sweep members)
+Appends one JSON line to scripts/explore_results.jsonl and prints it.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [REPO] + [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+              if p])
+RESULTS = os.path.join(REPO, "scripts", "explore_results.jsonl")
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+    import numpy as np
+
+    import kinetica_tpu  # noqa: F401  (x64)
+    import jax
+    from kinetica_tpu.conditions.condition_set import ConditionSet
+    from kinetica_tpu.conditions.profiles import LinearGradientProfile
+    from kinetica_tpu.exploration import (CDE, IterativeExplore,
+                                          explore_network)
+    from kinetica_tpu.exploration.cde_lite import (build_cde_lite,
+                                                   get_cde_lite_exec,
+                                                   write_minimal_template)
+    from kinetica_tpu.solving.methods import VariableODESolve
+    from kinetica_tpu.solving.params import ODESimulationParams
+
+    if build_cde_lite() is None:
+        raise SystemExit("g++ unavailable: cannot build the native sampler")
+
+    # same toy on-the-fly calculator as examples/iterative_exploration.py
+    sys.path.insert(0, os.path.join(REPO, "examples"))
+    from iterative_exploration import UniformArrhenius
+
+    workdir = tempfile.mkdtemp(prefix="kinetica_bench_explore_")
+    template = write_minimal_template(os.path.join(workdir, "template"),
+                                      nrxn_per_mech=2)
+
+    tf = 10.0
+    rates = np.linspace(40.0, 80.0, B)
+    conditions_list = [
+        ConditionSet({"T": LinearGradientProfile(
+            rate=float(r), X_start=600.0, X_end=600.0 + float(r) * tf)})
+        for r in rates]
+    pars = ODESimulationParams(tspan=(0.0, tf), u0={"CC": 1.0},
+                               solve_chunks=True, solve_chunkstep=tf / 10,
+                               low_k_cutoff="none")
+    solvemethod = VariableODESolve(pars, conditions_list[0],
+                                   UniformArrhenius())
+
+    timings: list = []
+    exploremethod = IterativeExplore(
+        rdir_head=os.path.join(workdir, "crn"),
+        reac_smiles=["CC"],
+        rxn_convergence_threshold=2,
+        seed_convergence_threshold=2,
+        seed_conc=0.05,
+        max_levels=4,
+        solve_conditions_list=conditions_list,
+        timings=timings,
+        cde=CDE(template_dir=template, cde_exec=get_cde_lite_exec(),
+                sampling_seed=7, nrxn=4, radius=1))
+
+    t0 = time.perf_counter()
+    res = explore_network(exploremethod, solvemethod,
+                          savedir=os.path.join(workdir, "out"))
+    total_s = time.perf_counter() - t0
+
+    phase_sum = sum(t["explore_s"] + t["solve_s"] + t["seeds_s"]
+                    for t in timings)
+    solve_total = sum(t["solve_s"] for t in timings)
+    rec = {
+        "config": "baseline-5-iterative-exploration",
+        "platform": jax.default_backend(),
+        "batch": B,
+        "levels": len(timings),
+        "final_species": res.sd.n,
+        "final_reactions": res.rd.nr,
+        "total_s": round(total_s, 3),
+        "solve_total_s": round(solve_total, 3),
+        "explore_total_s": round(sum(t["explore_s"] for t in timings), 3),
+        "interleave_overhead_s": round(total_s - phase_sum, 3),
+        "per_level": timings,
+    }
+    line = json.dumps(rec)
+    print(line)
+    with open(RESULTS, "a") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

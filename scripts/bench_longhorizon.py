@@ -32,6 +32,11 @@ from kinetica_tpu.testing.synthetic import synthetic_pyrolysis_network
 
 NC = int(os.environ.get("KINETICA_BENCH_NC", "24"))
 B = int(os.environ.get("KINETICA_BENCH_BATCH", "64"))
+# Chunk count: 40 is the historical figure; the quasi-static stretches
+# of a slow ramp take h ~ chunkstep-scale steps, so every chunk boundary
+# clamps h and costs extra steps — fewer chunks trade boundary clamps
+# against local-time precision (sweep with KINETICA_BENCH_CHUNKS).
+NCHUNKS = int(os.environ.get("KINETICA_BENCH_CHUNKS", "40"))
 TF = 1e5
 
 sd, rd, Ea, A = synthetic_pyrolysis_network(NC)
@@ -42,8 +47,8 @@ conditions_list = [
         rate=float(r), X_start=500.0, X_end=500.0 + float(r) * TF)})
     for r in rates]
 pars = ODESimulationParams(tspan=(0.0, TF), u0={f"C{NC}": 1.0},
-                           solve_chunks=True, solve_chunkstep=TF / 40,
-                           save_interval=TF / 40, low_k_cutoff="auto")
+                           solve_chunks=True, solve_chunkstep=TF / NCHUNKS,
+                           save_interval=TF / NCHUNKS, low_k_cutoff="auto")
 method = VariableODESolve(pars, conditions_list[0], calc)
 problem = EnsembleProblem(method, sd, rd, rate_mode="continuous")
 t0 = time.perf_counter()
@@ -62,9 +67,18 @@ def carbons(s):
 cvec = np.array([carbons(sd.toStr[i]) for i in range(sd.n)])
 drift = np.abs(np.asarray(ens.u[:, -1]) @ cvec - NC).max() / NC
 steps = np.asarray(ens.stats.get("n_steps", [0]))
-print(f"1e5s sweep: {dt/B*1e3:.1f} ms/profile (warm incl compile "
-      f"{warm:.0f}s); steps max={int(steps.max())} med="
+print(f"1e5s sweep ({NCHUNKS} chunks): {dt/B*1e3:.1f} ms/profile (warm "
+      f"incl compile {warm:.0f}s); steps max={int(steps.max())} med="
       f"{int(np.median(steps))}; carbon drift {drift:.2e}")
+if steps.size == B and B > 2:
+    # Lane-spread attribution (VERDICT r4 weak #3 / next #5): if per-lane
+    # step counts are an increasing function of ramp rate, the max/median
+    # spread is chemistry (hotter ramp -> more reaction turnover), not a
+    # controller artifact.
+    corr = float(np.corrcoef(rates, steps)[0, 1])
+    print(f"lane spread: steps min={int(steps.min())} max={int(steps.max())}"
+          f" (x{steps.max()/max(steps.min(),1):.2f}); corr(steps, ramp rate)"
+          f" = {corr:+.3f}")
 sys.stdout.flush()
 
 # CPU reference at the same config (single profile, pure numpy, best-of-3).
@@ -78,7 +92,8 @@ from kinetica_tpu.testing.cpu_reference import scipy_bdf_chunked_baseline  # noq
 
 cpu_dt, cpu_final = scipy_bdf_chunked_baseline(
     sd, rd, calc, conditions_list[0].get_profile("T"), pars.tspan,
-    make_u0(sd, pars), pars.reltol, pars.abstol, n_chunks=40, best_of=3)
+    make_u0(sd, pars), pars.reltol, pars.abstol, n_chunks=NCHUNKS,
+    best_of=3)
 err = np.max(np.abs(np.asarray(ens.u[0, -1]) - cpu_final)
              / max(cpu_final.sum(), 1.0))
 print(f"CPU BDF single profile: {cpu_dt:.2f}s -> per-profile speedup "

@@ -167,8 +167,15 @@ def ns_sensitivity():
     return ns
 
 
+def ns_full_product():
+    from kinetica_tpu.exploration.cde_lite import write_minimal_template
+    write_minimal_template("template")
+    return {}
+
+
 NAMESPACES = {
     "arbitrary-conditions.md": ns_arbitrary_conditions,
+    "full-product.md": ns_full_product,
     "filtering-crns.md": ns_filtering,
     "iterative-exploration.md": ns_iterative_exploration,
     "kinetic-calculators.md": ns_kinetic_calculators,
