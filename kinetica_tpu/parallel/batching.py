@@ -19,6 +19,7 @@ loops, benchmarks) pay compilation once.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -703,25 +704,39 @@ class EnsembleProblem:
         """
         steps = jnp.zeros((B,), jnp.int32)
         mode = self.chunk_mode
-        if (mode == "async" and not sharded
-                and self.rate_mode == "discrete" and B > 128):
-            # Worker-fault guard (r4): the async whole-horizon program
-            # with DISCRETE k tables kernel-faults the remote TPU worker
-            # at large batch (reproduced at B=436 across linsolve and
-            # rhs_contraction variants, and at B=256 in a long-lived
-            # process after other programs; a fresh-process B=256 probe
-            # passed, so the boundary is state-dependent — guard
-            # conservatively at 128. CONTINUOUS async is clean to
-            # B=1024). Applies to BOTH the segmented-async (progress)
-            # and whole-horizon async branches: the segmented branch
-            # dispatches the same async chunk program. Large discrete
-            # ensembles — the global-screening designs (Morris/Sobol)
-            # build exactly these — take the group (progress) or scan
-            # program instead until the Mosaic fault is isolated.
-            mode = "group" if self.pars.progress else "scan"
-            logger.info("   - discrete ensemble B=%d > 128: using the "
-                        "%s chunk program (async-mode worker-fault "
-                        "guard)", B, mode)
+        if (mode == "async" and not sharded and self.rate_mode == "discrete"
+                and not os.environ.get("KINETICA_UNSAFE_ASYNC_DISCRETE")):
+            # Worker-fault guard, localised by the r5 bisect
+            # (scripts/repro_async_discrete_fault.py): the async
+            # whole-horizon program with DISCRETE k tables kernel-faults
+            # the remote TPU worker when the per-member table
+            # (B, n_stops, nr) is LARGE — the trigger is table BYTES,
+            # not batch width: at nr=1095/fine stops, 218 MB (B=436)
+            # faults reproducibly ("TPU worker process crashed or
+            # restarted ... kernel fault"), 128 MB (B=256) is
+            # state-dependent, 64 MB (B=128) is clean; the SAME B=436
+            # passes with a 19 MB coarse-stops table or a 29 MB
+            # small-CRN table, and CONTINUOUS async (no table) is clean
+            # to B=1024. Guard above 64 MB (the largest measured-clean
+            # size; override via KINETICA_ASYNC_TABLE_MB, bypass with
+            # KINETICA_UNSAFE_ASYNC_DISCRETE=1 — reproduction only, CAN
+            # crash the worker). Applies to BOTH the segmented-async
+            # (progress) and whole-horizon async branches: the
+            # segmented branch dispatches the same async chunk program.
+            # Oversized tables take the group (progress) or scan
+            # program; the guard's measured price at B=256/128 MB is
+            # ~29% (warm scan 49.1 s vs async 38.2 s).
+            table = payload[1] if isinstance(payload, tuple) else None
+            table_mb = (float(table.size * table.dtype.itemsize) / 1e6
+                        if hasattr(table, "size") else 0.0)
+            limit_mb = float(os.environ.get("KINETICA_ASYNC_TABLE_MB", "64"))
+            if table_mb > limit_mb:
+                mode = "group" if self.pars.progress else "scan"
+                logger.info(
+                    "   - discrete k-table %.0f MB > %.0f MB async-safe "
+                    "limit: using the %s chunk program (worker-fault "
+                    "guard; see scripts/repro_async_discrete_fault.py)",
+                    table_mb, limit_mb, mode)
         if mode == "host":
             u = u0s_j
             h = jnp.full((B,), jnp.nan, bdf.time_dtype(self.dtype))
