@@ -45,7 +45,9 @@ def build(batch):
         tspan=(0.0, tf), u0={f"C{N_CARBONS}": 1.0},
         solve_chunks=True, solve_chunkstep=0.5,
         low_k_cutoff="none", abstol=ATOL, reltol=RTOL,
-        linsolve=os.environ.get("KINETICA_BENCH_LINSOLVE", "auto"))
+        linsolve=os.environ.get("KINETICA_BENCH_LINSOLVE", "auto"),
+        lu_drift_tol=float(os.environ.get("KINETICA_BENCH_LU_DRIFT",
+                                          "0.3")))
     return sd, rd, calc, conditions_list, pars
 
 
